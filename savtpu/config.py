@@ -1,0 +1,147 @@
+"""Single configuration object shared by every pipeline stage.
+
+The reference hardcodes and *duplicates* all constants between its four stage
+scripts (Data_prepare.py:35-50, Online_predictor.py:37-63, Model_training.py:19-46,
+and again inside DNN_prediction.py:21-24) — a documented drift hazard
+(SURVEY.md §5). Here one dataclass owns every knob; stages receive the same
+instance, and a JSON round-trip gives a file-based config system.
+
+Defaults reproduce the reference benchmark configuration exactly
+(BASELINE.md): E=1e6, nu=0.3, rho=1, fz=0.5, alpha=0.5, ramped load,
+gamma=0.9, 1e5 steps, n_p=n_f=20, n_s=150, n_ts=0.5, nH=50, nB=10,
+Adam 5e-4 -> 5e-7 with decay 0.998.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+
+@dataclass
+class MaterialConfig:
+    """Isotropic linear elasticity (reference Tools/commons.py:15-41)."""
+
+    E: float = 1e6            # Young's modulus
+    nu: float = 0.3           # Poisson ratio
+    rho: float = 1.0          # density
+    fz: float = 0.5           # body-force magnitude, applied as (0, -fz, -fz)
+    ramped: bool = True       # linear_ramp(t) on the load, ends at t=1s
+    model: str = "linear"     # "linear" | "neo_hookean" (stretch goal)
+
+    @property
+    def lmd(self) -> float:
+        return self.E * self.nu / ((1 + self.nu) * (1 - 2 * self.nu))
+
+    @property
+    def mu(self) -> float:
+        return self.E / (2 * (1 + self.nu))
+
+
+@dataclass
+class SolverConfig:
+    """Explicit dynamics (reference Data_prepare.py:43-50)."""
+
+    alpha: float = 0.5        # mass-proportional damping (C = alpha*M)
+    gamma: float = 0.9        # CFL reduction factor
+    num_steps: int = 100_000  # total explicit steps
+    save_every: int = 1       # trajectory save stride
+    deg: int = 1              # polynomial order (P1 tets; P2 steady-only)
+    n_quad: int = 2           # quadrature accuracy key (2 -> 4-pt rule)
+    fint_mode: str = "auto"   # "dense" | "ebe" | "bcoo" | "pallas" | "auto"
+    dtype: str = "float64"    # state dtype for the time loop
+
+
+@dataclass
+class PartitionConfig:
+    n_parts: int = 2
+    method: str = "rcb"       # "rcb" | "graph" (native C++) | "slab"
+    dirichlet_axis: int = 0   # clamped face: coordinate == dirichlet_value
+    dirichlet_value: float = 0.0
+    dirichlet_tol: float = 1e-9
+
+
+@dataclass
+class SurrogateConfig:
+    """LSTM encoder-decoder + schedule (reference Model_training.py:19-46,
+    Online_predictor.py:56-63)."""
+
+    hidden_size: int = 50           # n_H
+    num_layers_encoder: int = 2
+    bidirectional: bool = True
+    dropout_encoder: float = 0.0
+    dropout_decoder: float = 0.0
+    n_past: int = 20                # n_p
+    n_future: int = 20              # n_f
+    filter_size: int = 150          # n_s (temporal stride)
+    cut_off: float = 0.5            # n_ts (fraction of trace used for training)
+    batch_size: int = 10            # n_B
+    learning_rate: float = 5e-4
+    lr_min: float = 5e-7
+    decay: float = 0.998            # per-epoch exponential decay
+    train_portion: float = 0.75
+    num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
+    seed: int = 0
+    dtype: str = "float32"
+
+    @property
+    def epochs(self) -> int:
+        if self.num_epochs is not None:
+            return self.num_epochs
+        return int(math.log(self.lr_min / self.learning_rate, self.decay))
+
+    @property
+    def i_cri(self) -> int:
+        """Last synchronized step index (Online_predictor.py:63):
+        i_cri = n_p * n_s - 1."""
+        return self.n_past * self.filter_size - 1
+
+    @property
+    def block_size(self) -> int:
+        """Refill block length (Online_predictor.py:284): n_f * n_s."""
+        return self.n_future * self.filter_size
+
+    def run_tag(self) -> str:
+        """Artifact directory tag, mirroring the reference's
+        'nB-10-nH-50-Lr-0.0005-filter=150' naming (Model_training.py:28)."""
+        return (
+            f"nB-{self.batch_size}-nH-{self.hidden_size}"
+            f"-Lr-{self.learning_rate}-filter={self.filter_size}"
+        )
+
+
+@dataclass
+class Config:
+    mesh_path: Optional[str] = None   # legacy-VTK path; None -> generated beam
+    beam_cells: tuple = (25, 1, 1)    # structured generator resolution
+    beam_extent: tuple = (25.0, 1.0, 1.0)
+    workdir: str = "Results"          # artifact root (reference: Results/)
+    model_dir: str = "Distributed_save"
+    material: MaterialConfig = field(default_factory=MaterialConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    partition: PartitionConfig = field(default_factory=PartitionConfig)
+    surrogate: SurrogateConfig = field(default_factory=SurrogateConfig)
+
+    # ---------------- (de)serialization ----------------
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(dataclasses.asdict(self), indent=2))
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "Config":
+        raw = json.loads(Path(path).read_text())
+        return cls(
+            **{
+                **raw,
+                "beam_cells": tuple(raw.get("beam_cells", (25, 1, 1))),
+                "beam_extent": tuple(raw.get("beam_extent", (25.0, 1.0, 1.0))),
+                "material": MaterialConfig(**raw.get("material", {})),
+                "solver": SolverConfig(**raw.get("solver", {})),
+                "partition": PartitionConfig(**raw.get("partition", {})),
+                "surrogate": SurrogateConfig(**raw.get("surrogate", {})),
+            }
+        )

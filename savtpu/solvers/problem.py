@@ -1,0 +1,154 @@
+"""One-shot problem assembly: everything the time loop needs, precomputed.
+
+Mirrors the reference's setup phase (Data_prepare.py:147-208) — CFL dt,
+lumped mass, pre-assembled external force, Dirichlet DOFs, ghost-step
+initialization — but as a single vmapped-assembly pass producing static
+arrays that get baked into the jitted stepper.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace as dc_replace
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..mesh import Mesh, beam_mesh, cfl_dt, dirichlet_nodes, read_vtk
+from ..mesh.geometry import node_to_dof
+from ..ops.assembly import (
+    assemble_force,
+    assemble_lumped_mass,
+    dirichlet_mask,
+    element_dofs,
+)
+from ..ops.element import batch_element_k, batch_element_mkf, gather_coords
+from ..ops.material import LinearElastic
+
+
+@dataclass
+class AssembledProblem:
+    """Static data of one elastodynamics problem (serial numbering)."""
+
+    mesh: Mesh
+    material: LinearElastic
+    deg: int
+    n_quad: int
+    dt: float
+    alpha: float
+    edofs: np.ndarray        # (E, 3nb) int32
+    Ke: jnp.ndarray          # (E, 3nb, 3nb) element stiffness
+    lumped_M: jnp.ndarray    # (ndof,) row-sum lumped mass
+    F_pre: jnp.ndarray       # (ndof,) unramped external force (steady load)
+    dirichlet_dofs: np.ndarray
+    mask: jnp.ndarray        # (ndof,) 0 on Dirichlet DOFs
+    d0: jnp.ndarray          # initial displacement
+    dn: jnp.ndarray          # ghost step d_{-1}
+    coords: jnp.ndarray      # (E, nb, 3) element coordinates
+
+    @property
+    def ndof(self) -> int:
+        return self.mesh.num_dofs
+
+    def with_dtype(self, dtype) -> "AssembledProblem":
+        """Cast the runtime arrays (f32 benchmark path on TPU)."""
+        cast = lambda a: jnp.asarray(a, dtype=dtype)
+        return dc_replace(
+            self,
+            Ke=cast(self.Ke),
+            lumped_M=cast(self.lumped_M),
+            F_pre=cast(self.F_pre),
+            mask=cast(self.mask),
+            d0=cast(self.d0),
+            dn=cast(self.dn),
+            coords=cast(self.coords),
+        )
+
+
+def load_mesh(cfg: Config) -> Mesh:
+    if cfg.mesh_path is not None:
+        return read_vtk(cfg.mesh_path)
+    nx, ny, nz = cfg.beam_cells
+    return beam_mesh(nx, ny, nz, extent=cfg.beam_extent)
+
+
+def setup_problem(
+    cfg: Config,
+    mesh: Optional[Mesh] = None,
+    dtype=jnp.float64,
+) -> AssembledProblem:
+    mat_cfg = cfg.material
+    sol = cfg.solver
+    if mesh is None:
+        mesh = load_mesh(cfg)
+
+    material = LinearElastic(
+        lmd=mat_cfg.lmd,
+        mu=mat_cfg.mu,
+        rho=mat_cfg.rho,
+        fz=mat_cfg.fz,
+        ramped=mat_cfg.ramped,
+    )
+    # steady/no-ramp variant: used for F_pre and lumped mass so that the
+    # pre-assembled load is the full (unramped) body force, ramped per-step
+    # (Data_prepare.py:160,175-176 use elas_steady here).
+    material_steady = dc_replace(material, ramped=False)
+
+    tets = mesh.tetra
+    points = mesh.points
+    ndof = mesh.num_dofs
+
+    dt = cfl_dt(
+        tets, points, mat_cfg.E, mat_cfg.rho, mat_cfg.nu, gamma=sol.gamma
+    )
+
+    coords = gather_coords(tets, points, dtype=dtype)
+    edofs = element_dofs(tets)
+
+    Me, Ke, Fe = batch_element_mkf(
+        sol.deg, sol.n_quad, material_steady, 0.0, coords
+    )
+    lumped_M = assemble_lumped_mass(Me, edofs, ndof)
+    F_pre = assemble_force(Fe, edofs, ndof)
+
+    dnodes = dirichlet_nodes(
+        mesh.triangles,
+        points,
+        axis=cfg.partition.dirichlet_axis,
+        value=cfg.partition.dirichlet_value,
+        tol=cfg.partition.dirichlet_tol,
+    )
+    ddofs = node_to_dof(dnodes)
+    mask = dirichlet_mask(ndof, ddofs, dtype=dtype)
+
+    d0 = jnp.zeros((ndof,), dtype=dtype)
+    v0 = jnp.zeros((ndof,), dtype=dtype)
+
+    from .steady import ghost_step_init
+
+    # element force at t=0: the load is linear in f, so the ramped value is
+    # Fe * ramp(0) (zero for the ramped benchmark — Data_prepare.py:182's
+    # comment notes dn reduces to 0 in that case; kept general here).
+    Fe_t0 = Fe * (0.0 if mat_cfg.ramped else 1.0)
+    dn = ghost_step_init(
+        Me, Ke, Fe_t0, edofs, ndof, ddofs, d0, v0, float(dt)
+    )
+
+    return AssembledProblem(
+        mesh=mesh,
+        material=material,
+        deg=sol.deg,
+        n_quad=sol.n_quad,
+        dt=float(dt),
+        alpha=sol.alpha,
+        edofs=edofs,
+        Ke=Ke,
+        lumped_M=lumped_M,
+        F_pre=F_pre,
+        dirichlet_dofs=np.asarray(ddofs),
+        mask=mask,
+        d0=d0,
+        dn=dn,
+        coords=coords,
+    )

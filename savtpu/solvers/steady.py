@@ -1,0 +1,69 @@
+"""Steady solve, ghost-step initialization, and modal analysis.
+
+These are the reference's small dense LAPACK paths — Steady_Elasticity_solver
+(Tools/Steady_solvers.py:13-22), the ghost-step Taylor init
+(Data_prepare.py:179-189) and Eigen_mode (Steady_solvers.py:25-40) — kept as
+dense jnp solves: they run once at setup on systems small enough that a
+dense factorization is the right tool even on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.assembly import apply_dirichlet_dense, assemble_dense, assemble_vector
+
+
+def steady_solve(Ke, Fe, edofs, ndof: int, dirichlet_dofs):
+    """Solve K d = F with strong Dirichlet (unit-diagonal rows).
+
+    Equivalent to Global_Assembly(steady=True) + the row fix-up at
+    Steady_solvers.py:16-22."""
+    K = assemble_dense(Ke, edofs, ndof)
+    F = assemble_vector(Fe, edofs, ndof)
+    K, F = apply_dirichlet_dense(K, F, dirichlet_dofs)
+    return jnp.linalg.solve(K, F)
+
+
+def ghost_step_init(Me, Ke, Fe_t0, edofs, ndof: int, dirichlet_dofs, d0, v0, dt: float):
+    """d_{-1} = d0 - dt*v0 + dt^2/2 * a0 with a0 = M^{-1}(F(0) - K d0).
+
+    M consistent (not lumped) with Dirichlet rows/cols zeroed and unit
+    diagonal; K with Dirichlet rows/cols zeroed (diagonal left at zero);
+    F(0) with Dirichlet rows zeroed — exactly the BC treatment of
+    Data_prepare.py:179-189 on top of Global_Assembly's row/col skip."""
+    d = jnp.asarray(dirichlet_dofs)
+    M = assemble_dense(Me, edofs, ndof)
+    K = assemble_dense(Ke, edofs, ndof)
+    F = assemble_vector(Fe_t0, edofs, ndof)
+    keep = jnp.ones((ndof,), dtype=M.dtype).at[d].set(0.0)
+    M = M * keep[:, None] * keep[None, :]
+    M = M.at[d, d].set(1.0)
+    K = K * keep[:, None] * keep[None, :]
+    F = F * keep
+    a0 = jnp.linalg.solve(M, F - K @ d0)
+    return d0 - dt * v0 + 0.5 * dt * dt * a0
+
+
+def eigen_modes(Me, Ke, edofs, ndof: int, dirichlet_dofs, num: int = 50):
+    """First ``num`` natural frequencies (Hz) of K phi = w^2 M phi.
+
+    Equivalent to Eigen_mode (Steady_solvers.py:25-40): Dirichlet rows/cols
+    skipped, unit diagonal on M only — constrained DOFs appear as zero-
+    frequency modes, exactly as in the reference's printed spectrum. Uses
+    scipy.linalg.eigh on host — a once-per-mesh analysis utility, not a hot
+    path."""
+    from scipy.linalg import eigh
+
+    d = np.asarray(dirichlet_dofs)
+    M = np.asarray(assemble_dense(Me, edofs, ndof))
+    K = np.asarray(assemble_dense(Ke, edofs, ndof))
+    keep = np.ones(ndof)
+    keep[d] = 0.0
+    M = M * keep[:, None] * keep[None, :]
+    K = K * keep[:, None] * keep[None, :]
+    M[d, d] = 1.0
+    omega_sq = eigh(K, M, eigvals_only=True)
+    freqs = np.sqrt(np.maximum(omega_sq, 0.0)) / (2 * np.pi)
+    return freqs[:num]
