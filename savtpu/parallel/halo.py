@@ -1,0 +1,111 @@
+"""Partition localization and halo (shared-node) index maps.
+
+Reproduces the semantics of the reference's distribution tools as
+precomputed index arrays (SURVEY.md §2.1 "TPU equivalent"):
+
+- per-part element lists (ascending global order, like the epart scan in
+  rankwise_dist, Tools/Distributed_tools.py:14-24),
+- per-part node lists in *first-touch* order (same function) — this order
+  defines the local DOF layout, as in the reference,
+- shared nodes: nodes owned by >= 2 parts (find_shared_nodes,
+  Distributed_tools.py:29-40); per-part lists are ordered by local
+  first-touch position (a deterministic simplification of the reference's
+  other-rank-scan order — internal consistency is what matters, and all
+  savtpu stages share these maps),
+- the sorted global union (sort_shared, Distributed_tools.py:44-51),
+- per-part Dirichlet DOFs (Dirichlet_rank_dist, Distributed_tools.py:55-62).
+
+Everything is computed once on host with O(N) hashing (or the native C++
+kernel) instead of the reference's O(N^2) list scans, then padded to
+rectangular device tensors by savtpu.parallel.sharded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class PartitionMaps:
+    n_parts: int
+    epart: np.ndarray                    # (E,) element -> part
+    local_elements: List[np.ndarray]     # per part: global element ids
+    local_nodes: List[np.ndarray]        # per part: first-touch node ids
+    shared_nodes: List[np.ndarray]       # per part: its shared node ids
+    global_shared: np.ndarray            # sorted union of shared nodes
+    local_dirichlet: List[np.ndarray]    # per part: local DOF ids clamped
+
+    @property
+    def max_local_nodes(self) -> int:
+        return max(len(l) for l in self.local_nodes)
+
+    @property
+    def max_shared(self) -> int:
+        return max((len(s) for s in self.shared_nodes), default=0)
+
+    def local_index_of(self, p: int, global_nodes: np.ndarray) -> np.ndarray:
+        """Positions of global node ids inside part p's local node list
+        (local_mat_node, Distributed_tools.py:66-73)."""
+        lookup = {int(g): i for i, g in enumerate(self.local_nodes[p])}
+        return np.array([lookup[int(g)] for g in global_nodes], dtype=np.int64)
+
+
+def _first_touch(flat: np.ndarray, n_global: int) -> np.ndarray:
+    from ..native import native_first_touch
+
+    out = native_first_touch(flat, n_global)
+    if out is not None:
+        return out
+    seen = np.zeros(n_global, dtype=bool)
+    order = []
+    for v in flat:
+        if not seen[v]:
+            seen[v] = True
+            order.append(int(v))
+    return np.array(order, dtype=np.int64)
+
+
+def build_partition_maps(
+    cells: np.ndarray,
+    epart: np.ndarray,
+    n_points: int,
+    dirichlet_nodes: np.ndarray,
+) -> PartitionMaps:
+    cells = np.asarray(cells)
+    epart = np.asarray(epart)
+    n_parts = int(epart.max()) + 1 if len(epart) else 1
+
+    local_elements, local_nodes = [], []
+    owner_count = np.zeros(n_points, dtype=np.int64)
+    for p in range(n_parts):
+        elems = np.flatnonzero(epart == p)
+        nodes = _first_touch(cells[elems].reshape(-1), n_points)
+        local_elements.append(elems)
+        local_nodes.append(nodes)
+        owner_count[nodes] += 1
+
+    shared_mask = owner_count >= 2
+    shared_nodes = [ln[shared_mask[ln]] for ln in local_nodes]
+    global_shared = np.sort(np.flatnonzero(shared_mask))
+
+    dset = np.zeros(n_points, dtype=bool)
+    dset[np.asarray(dirichlet_nodes, dtype=np.int64)] = True
+    local_dirichlet = []
+    for p in range(n_parts):
+        loc = np.flatnonzero(dset[local_nodes[p]])
+        local_dirichlet.append(
+            (3 * loc[:, None] + np.arange(3)[None, :]).reshape(-1)
+        )
+
+    return PartitionMaps(
+        n_parts=n_parts,
+        epart=epart,
+        local_elements=local_elements,
+        local_nodes=local_nodes,
+        shared_nodes=shared_nodes,
+        global_shared=global_shared,
+        local_dirichlet=local_dirichlet,
+    )

@@ -1,0 +1,393 @@
+"""Sharded explicit solver over a ``jax.sharding.Mesh``.
+
+This is the TPU-native redesign of the reference's MPI layer (SURVEY.md
+§2.5): the per-step root-centralized gather + scatter-add + bcast of
+``syn_cpus`` (Tools/Distributed_tools.py:77-93) becomes a shared-DOF
+``psum`` over the mesh's ICI — each shard scatters its interface-force
+contributions into a (3*|global shared|,) buffer, one all-reduce sums the
+duplicate contributions (exactly FEM interface assembly), and each shard
+gathers its slice back. Interior DOFs have a single owner and never move.
+
+The step body is written once at the "stacked" level (leading part axis)
+and runs under two backends:
+
+- ``shard_map`` over an N-device mesh — the part axis is sharded, the
+  local block has one part, and ``reduce_fn = lax.psum`` crosses chips.
+- single-device emulation — the part axis is a vmap batch, the cross-part
+  sum is a plain axis-0 reduction (``reduce_fn = identity``). Used for
+  1-chip benchmarking and as the semantic oracle.
+
+The sync-avoiding mode compiles the *same* scan body with no collective at
+all and the shared DOFs overwritten from NN predictions fed as scan inputs
+(Online_predictor.py:294-301) — the measurable north-star contrast.
+
+Padding: per-part arrays are padded to the max part size; padded scatter
+targets point at a dummy DOF slot (index DL-1) that is zeroed every step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.material import linear_ramp
+from .halo import PartitionMaps
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "shards"
+
+
+def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (AXIS,), devices=devs)
+
+
+@dataclass
+class ShardedProblem:
+    """Padded, stacked (leading part axis) device tensors of a partitioned
+    problem. Built once on host from an AssembledProblem + PartitionMaps."""
+
+    n_parts: int
+    DL: int                      # padded local DOF count + 1 dummy slot
+    SD: int                      # 3 * |global shared nodes|
+    dt: float
+    alpha: float
+    ramped: bool
+    # (n_parts, 3*L_max) global DOF id of each real local slot (pad -> 0)
+    local_dofs_global: np.ndarray
+    dof_mask: jnp.ndarray        # (P, DL) 1 on real local slots
+    bc_mask: jnp.ndarray         # (P, DL) 0 on Dirichlet + pad + dummy
+    lM: jnp.ndarray              # (P, DL) lumped mass (pad -> 1)
+    F_pre: jnp.ndarray           # (P, DL) pre-assembled external force
+    edofs: jnp.ndarray           # (P, E_max, 12) local DOF ids (pad -> DL-1)
+    Ke: jnp.ndarray              # (P, E_max, 12, 12) (pad -> 0)
+    denseK: Optional[jnp.ndarray]  # (P, DL, DL) if fint_mode == 'dense'
+    sld: jnp.ndarray             # (P, 3*S_max) shared local DOF (pad -> DL-1)
+    sgi: jnp.ndarray             # (P, 3*S_max) index into global shared DOFs
+    smask: jnp.ndarray           # (P, 3*S_max) 1 on real shared slots
+    fint_mode: str = "dense"
+    maps: Optional[PartitionMaps] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        prob,                    # AssembledProblem (serial numbering)
+        maps: PartitionMaps,
+        fint_mode: str = "auto",
+        dtype=None,
+    ) -> "ShardedProblem":
+        npn = maps.n_parts
+        dtype = dtype or prob.lumped_M.dtype
+        L_max = maps.max_local_nodes
+        DL = 3 * L_max + 1
+        S_max = max(maps.max_shared, 1)
+        SG = max(len(maps.global_shared), 1)
+        SD = 3 * SG
+
+        Ke_np = np.asarray(prob.Ke)
+        cells = np.asarray(prob.mesh.tetra)
+        E_max = max(len(e) for e in maps.local_elements)
+        nb3 = Ke_np.shape[1]
+
+        local_dofs_global = np.zeros((npn, 3 * L_max), dtype=np.int64)
+        dof_mask = np.zeros((npn, DL), dtype=np.float64)
+        bc_mask = np.zeros((npn, DL), dtype=np.float64)
+        lM = np.ones((npn, DL), dtype=np.float64)
+        F_pre = np.zeros((npn, DL), dtype=np.float64)
+        edofs = np.full((npn, E_max, nb3), DL - 1, dtype=np.int32)
+        Ke = np.zeros((npn, E_max, nb3, nb3), dtype=np.float64)
+        sld = np.full((npn, 3 * S_max), DL - 1, dtype=np.int32)
+        sgi = np.zeros((npn, 3 * S_max), dtype=np.int32)
+        smask = np.zeros((npn, 3 * S_max), dtype=np.float64)
+
+        gshared_pos = {int(g): i for i, g in enumerate(maps.global_shared)}
+        lumped_np = np.asarray(prob.lumped_M)
+        fpre_np = np.asarray(prob.F_pre)
+
+        for p in range(npn):
+            nodes = maps.local_nodes[p]
+            ln = len(nodes)
+            gdofs = (3 * nodes[:, None] + np.arange(3)).reshape(-1)
+            local_dofs_global[p, : 3 * ln] = gdofs
+            dof_mask[p, : 3 * ln] = 1.0
+            bc_mask[p, : 3 * ln] = 1.0
+            bc_mask[p, maps.local_dirichlet[p]] = 0.0
+            lM[p, : 3 * ln] = lumped_np[gdofs]
+            F_pre[p, : 3 * ln] = fpre_np[gdofs]
+
+            lookup = {int(g): i for i, g in enumerate(nodes)}
+            elems = maps.local_elements[p]
+            loc_cells = np.array(
+                [[lookup[int(n)] for n in cells[e]] for e in elems],
+                dtype=np.int64,
+            ).reshape(len(elems), -1)
+            ed = (3 * loc_cells[:, :, None] + np.arange(3)).reshape(
+                len(elems), nb3
+            )
+            edofs[p, : len(elems)] = ed
+            Ke[p, : len(elems)] = Ke_np[elems]
+
+            sh = maps.shared_nodes[p]
+            loc_sh = maps.local_index_of(p, sh)
+            sdofs = (3 * loc_sh[:, None] + np.arange(3)).reshape(-1)
+            gsh = np.array(
+                [gshared_pos[int(g)] for g in sh], dtype=np.int64
+            )
+            gsdofs = (3 * gsh[:, None] + np.arange(3)).reshape(-1)
+            sld[p, : len(sdofs)] = sdofs
+            sgi[p, : len(sdofs)] = gsdofs
+            smask[p, : len(sdofs)] = 1.0
+
+        if fint_mode == "auto":
+            fint_mode = "dense" if DL <= 3072 else "ebe"
+        denseK = None
+        if fint_mode == "dense":
+            dk = np.zeros((npn, DL, DL), dtype=np.float64)
+            for p in range(npn):
+                np.add.at(
+                    dk[p],
+                    (edofs[p][:, :, None], edofs[p][:, None, :]),
+                    Ke[p],
+                )
+            dk[:, DL - 1, :] = 0.0
+            dk[:, :, DL - 1] = 0.0
+            denseK = jnp.asarray(dk, dtype=dtype)
+
+        return cls(
+            n_parts=npn,
+            DL=DL,
+            SD=SD,
+            dt=float(prob.dt),
+            alpha=float(prob.alpha),
+            ramped=bool(prob.material.ramped),
+            local_dofs_global=local_dofs_global,
+            dof_mask=jnp.asarray(dof_mask, dtype=dtype),
+            bc_mask=jnp.asarray(bc_mask, dtype=dtype),
+            lM=jnp.asarray(lM, dtype=dtype),
+            F_pre=jnp.asarray(F_pre, dtype=dtype),
+            edofs=jnp.asarray(edofs),
+            Ke=jnp.asarray(Ke, dtype=dtype),
+            denseK=denseK,
+            sld=jnp.asarray(sld),
+            sgi=jnp.asarray(sgi),
+            smask=jnp.asarray(smask, dtype=dtype),
+            fint_mode=fint_mode,
+            maps=maps,
+        )
+
+    # ------------------------------------------------------------------
+    def localize(self, vec) -> jnp.ndarray:
+        """(ndof,) global vector -> (P, DL) stacked local vectors."""
+        vec = np.asarray(vec).reshape(-1)
+        out = np.zeros((self.n_parts, self.DL), dtype=vec.dtype)
+        npn = self.n_parts
+        for p in range(npn):
+            n_real = int(np.asarray(self.dof_mask[p]).sum())
+            out[p, :n_real] = vec[self.local_dofs_global[p, :n_real]]
+        return jnp.asarray(out, dtype=self.lM.dtype)
+
+    def globalize(self, stacked, ndof: int) -> np.ndarray:
+        """(P, DL) stacked -> (ndof,) global (owner value; duplicates agree
+        in the exchanged path)."""
+        stacked = np.asarray(stacked)
+        out = np.zeros(ndof, dtype=stacked.dtype)
+        for p in range(self.n_parts - 1, -1, -1):
+            n_real = int(np.asarray(self.dof_mask[p]).sum())
+            out[self.local_dofs_global[p, :n_real]] = stacked[p, :n_real]
+        return out
+
+    # ------------------------------------------------------------------
+    # stacked step machinery (leading axis = parts; works under vmap
+    # emulation and inside shard_map where the local block has 1 part)
+    # ------------------------------------------------------------------
+    def _fint_stacked(self, d):  # d (p, DL)
+        if self.fint_mode == "dense":
+            return jnp.einsum("pij,pj->pi", self.denseK, d)
+
+        def one(Ke, ed, dp):
+            de = dp[ed]  # (E_max, 12)
+            fe = jnp.einsum("eij,ej->ei", Ke, de)
+            return jax.ops.segment_sum(
+                fe.reshape(-1), ed.reshape(-1), num_segments=self.DL
+            )
+
+        return jax.vmap(one)(self.Ke, self.edofs, d)
+
+    def _exchange(self, F_int, reduce_fn):
+        def scatter(F, sld, sgi, smask):
+            return (
+                jnp.zeros((self.SD,), dtype=F.dtype)
+                .at[sgi]
+                .add(F[sld] * smask)
+            )
+
+        contrib = jax.vmap(scatter)(F_int, self.sld, self.sgi, self.smask)
+        tot = reduce_fn(contrib.sum(axis=0))  # (SD,)
+
+        def setback(F, sld, sgi):
+            return F.at[sld].set(tot[sgi])
+
+        return jax.vmap(setback)(F_int, self.sld, self.sgi)
+
+    def _update(self, d0, dn, tn, F_int):
+        dt, alpha = self.dt, self.alpha
+        ramp = (
+            linear_ramp(tn) if self.ramped else jnp.ones((), dtype=d0.dtype)
+        )
+        F_ext = self.F_pre * ramp
+        lM = self.lM
+        d1 = (
+            dt * dt * (F_ext - F_int)
+            + 2.0 * lM * d0
+            - lM * dn
+            + 0.5 * dt * alpha * lM * dn
+        ) / (lM + 0.5 * alpha * dt * lM)
+        return d1 * self.bc_mask
+
+    def _gather_shared(self, d):  # (p, DL) -> (p, 3*S_max)
+        return jax.vmap(lambda dp, sld: dp[sld])(d, self.sld) * self.smask
+
+    def _scatter_pred(self, d1, pred_row):
+        """Overwrite shared DOFs with the NN prediction
+        (Online_predictor.py:298); padded slots land in the dummy."""
+        out = jax.vmap(lambda dp, sld, pr: dp.at[sld].set(pr))(
+            d1, self.sld, pred_row
+        )
+        return out.at[:, self.DL - 1].set(0.0)
+
+    # ------------------------------------------------------------------
+    def stacked_run(
+        self,
+        d0,
+        dn,
+        t0,
+        num_steps: int,
+        *,
+        sync: bool,
+        reduce_fn: Callable = lambda x: x,
+        preds=None,              # (P, num_steps, 3*S_max) if not sync
+        record: str = "all",     # "all" | "shared" | "none"
+    ):
+        """Scan ``num_steps`` steps. Returns ((traj, shared_trace), carry);
+        recorded entries are None when not requested."""
+        dt = self.dt
+
+        def body(carry, x):
+            d0, dn, tn = carry
+            F_int = self._fint_stacked(d0)
+            if sync:
+                F_int = self._exchange(F_int, reduce_fn)
+            d1 = self._update(d0, dn, tn, F_int)
+            if x is not None:
+                d1 = self._scatter_pred(d1, x)
+            shared_row = self._gather_shared(d1)
+            outs = (
+                d1 if record == "all" else None,
+                shared_row if record in ("all", "shared") else None,
+            )
+            return (d1, d0, tn + dt), outs
+
+        xs = None
+        if preds is not None:
+            xs = jnp.moveaxis(preds, 1, 0)  # scan over time axis
+        carry, (traj, shared) = jax.lax.scan(
+            body, (d0, dn, jnp.asarray(t0, dtype=d0.dtype)), xs,
+            length=num_steps,
+        )
+        if traj is not None:
+            traj = jnp.moveaxis(traj, 0, 1)  # (P, T, DL)
+        if shared is not None:
+            shared = jnp.moveaxis(shared, 0, 1)  # (P, T, 3*S_max)
+        return (traj, shared), carry
+
+
+class ShardedSolver:
+    """Runs a ShardedProblem either vmap-emulated (one device) or under
+    shard_map over a device mesh (one part per device)."""
+
+    def __init__(self, sp: ShardedProblem, mesh: Optional[Mesh] = None):
+        self.sp = sp
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if n_dev != sp.n_parts:
+                raise ValueError(
+                    f"mesh has {n_dev} devices but problem has "
+                    f"{sp.n_parts} parts"
+                )
+
+    def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
+            record="all"):
+        sp = self.sp
+        if self.mesh is None:
+            fn = jax.jit(
+                partial(
+                    sp.stacked_run,
+                    num_steps=num_steps,
+                    sync=sync,
+                    record=record,
+                ),
+                static_argnames=(),
+            )
+            return fn(d0, dn, t0, preds=preds)
+
+        mesh = self.mesh
+        spec = P(AXIS)
+        pred_spec = P(AXIS) if preds is not None else None
+
+        # Shard the static per-part tensors too: rebuild a local view of
+        # the ShardedProblem inside shard_map by passing its arrays in.
+        data = dict(
+            dof_mask=sp.dof_mask, bc_mask=sp.bc_mask, lM=sp.lM,
+            F_pre=sp.F_pre, edofs=sp.edofs, Ke=sp.Ke, sld=sp.sld,
+            sgi=sp.sgi, smask=sp.smask,
+        )
+        if sp.denseK is not None:
+            data["denseK"] = sp.denseK
+
+        def local_run(data, d0, dn, t0, preds):
+            import dataclasses as _dc
+
+            lsp = _dc.replace(
+                sp,
+                denseK=data.get("denseK"),
+                dof_mask=data["dof_mask"], bc_mask=data["bc_mask"],
+                lM=data["lM"], F_pre=data["F_pre"], edofs=data["edofs"],
+                Ke=data["Ke"], sld=data["sld"], sgi=data["sgi"],
+                smask=data["smask"],
+            )
+            reduce_fn = (
+                (lambda x: jax.lax.psum(x, AXIS)) if sync else (lambda x: x)
+            )
+            return lsp.stacked_run(
+                d0, dn, t0, num_steps,
+                sync=sync, reduce_fn=reduce_fn, preds=preds, record=record,
+            )
+
+        data_specs = {k: spec for k in data}
+        out_record = (
+            spec if record == "all" else None,
+            spec if record in ("all", "shared") else None,
+        )
+        fn = _shard_map(
+            local_run,
+            mesh=mesh,
+            in_specs=(data_specs, spec, spec, P(), pred_spec),
+            out_specs=(out_record, (spec, spec, P())),
+            check_vma=False,
+        )
+        return jax.jit(fn)(data, d0, dn, jnp.asarray(t0), preds)

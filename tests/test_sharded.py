@@ -1,0 +1,181 @@
+"""Partitioning, halo maps, and sharded-vs-serial equivalence.
+
+The reference's exchanged path is mathematically identical to the serial
+path (Dynamic_solver.py:22-32 recomputes d1 from the assembled global
+F_int; size==1 skips the sync entirely) — so the serial scan stepper is the
+oracle for the sharded solver, in both the vmap-emulated and the real
+8-virtual-device shard_map backends.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from savtpu.config import Config
+from savtpu.mesh import beam_mesh, dirichlet_nodes
+from savtpu.ops.assembly import FIntOperator
+from savtpu.parallel import (
+    ShardedProblem,
+    build_partition_maps,
+    make_device_mesh,
+    partition_elements,
+)
+from savtpu.parallel.sharded import ShardedSolver
+from savtpu.solvers import make_step_fn, setup_problem
+from savtpu.solvers.explicit import run_explicit_jit
+
+
+def _problem(nx=8):
+    cfg = Config()
+    cfg.beam_cells = (nx, 1, 1)
+    cfg.beam_extent = (float(nx), 1.0, 1.0)
+    return cfg, setup_problem(cfg)
+
+
+# ---------------- partitioning ----------------
+
+@pytest.mark.parametrize("method", ["rcb", "slab", "graph"])
+@pytest.mark.parametrize("n_parts", [2, 3, 4])
+def test_partition_coverage_and_balance(method, n_parts):
+    cfg, prob = _problem(8)
+    cells, points = prob.mesh.tetra, prob.mesh.points
+    epart = partition_elements(cells, points, n_parts, method=method)
+    assert epart.shape == (len(cells),)
+    counts = np.bincount(epart, minlength=n_parts)
+    assert counts.sum() == len(cells)
+    assert counts.min() > 0
+    # balance within 30% of ideal
+    assert counts.max() <= 1.3 * len(cells) / n_parts + 1
+
+
+def test_partition_maps_shared_nodes():
+    cfg, prob = _problem(8)
+    cells = prob.mesh.tetra
+    epart = partition_elements(cells, prob.mesh.points, 2, method="rcb")
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(cells, epart, prob.mesh.num_points, dn_nodes)
+    # every element's nodes are in its part's local list
+    for p in range(2):
+        lset = set(maps.local_nodes[p].tolist())
+        for e in maps.local_elements[p]:
+            assert set(cells[e].tolist()) <= lset
+    # shared = intersection of the two parts' node sets
+    inter = set(maps.local_nodes[0].tolist()) & set(
+        maps.local_nodes[1].tolist()
+    )
+    assert set(maps.global_shared.tolist()) == inter
+    for p in range(2):
+        assert set(maps.shared_nodes[p].tolist()) == inter
+    # first-touch order: first element's nodes lead the list
+    e0 = maps.local_elements[0][0]
+    assert maps.local_nodes[0][:4].tolist() == list(
+        dict.fromkeys(cells[e0].tolist())
+    )
+
+
+# ---------------- sharded vs serial ----------------
+
+def _serial_traj(prob, num_steps):
+    op = FIntOperator(prob.Ke, prob.edofs, prob.ndof, mode="dense")
+    step = make_step_fn(
+        op, prob.F_pre, prob.lumped_M, prob.mask, prob.alpha, prob.dt
+    )
+    traj, _ = run_explicit_jit(step, prob.d0, prob.dn, 0.0, prob.dt, num_steps)
+    return np.asarray(traj)
+
+
+@pytest.mark.parametrize("n_parts", [2, 4])
+@pytest.mark.parametrize("fint_mode", ["dense", "ebe"])
+def test_emulated_exchanged_matches_serial(n_parts, fint_mode):
+    cfg, prob = _problem(8)
+    num_steps = 100
+    ref = _serial_traj(prob, num_steps)
+
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, n_parts, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode=fint_mode)
+    solver = ShardedSolver(sp, mesh=None)
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    (traj, shared), carry = solver.run(d0, dnl, 0.0, num_steps, sync=True)
+    # compare every saved step, globalized
+    for t in range(0, num_steps, 25):
+        g = sp.globalize(np.asarray(traj)[:, t, :], prob.ndof)
+        err = np.linalg.norm(g - ref[t]) / max(np.linalg.norm(ref[t]), 1e-30)
+        assert err < 1e-12, (t, err)
+    # duplicated shared DOFs agree across parts (exchanged path invariant)
+    if sp.maps.max_shared:
+        last = np.asarray(traj)[:, -1, :]
+        vals = {}
+        for p in range(n_parts):
+            real = np.flatnonzero(np.asarray(sp.smask[p]))
+            for slot in real:
+                gd = int(sp.sgi[p][slot])
+                v = last[p, int(sp.sld[p][slot])]
+                if gd in vals:
+                    assert abs(vals[gd] - v) < 1e-13
+                vals[gd] = v
+
+
+def test_shard_map_matches_emulation():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg, prob = _problem(8)
+    num_steps = 60
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 4, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+
+    (traj_e, _), _ = ShardedSolver(sp, mesh=None).run(
+        d0, dnl, 0.0, num_steps, sync=True
+    )
+    mesh = make_device_mesh(4)
+    (traj_m, _), _ = ShardedSolver(sp, mesh=mesh).run(
+        d0, dnl, 0.0, num_steps, sync=True
+    )
+    assert np.allclose(np.asarray(traj_e), np.asarray(traj_m), atol=1e-12)
+
+
+def test_sync_avoiding_mode_runs_and_differs():
+    """MODEL=True path: no collective, shared DOFs forced from given rows —
+    the d1 formula from unsynced F_int (Dynamic_solver.py:17-20)."""
+    cfg, prob = _problem(8)
+    num_steps = 40
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    solver = ShardedSolver(sp, mesh=None)
+
+    # exchanged run provides the "true" shared rows
+    (_, shared_true), _ = solver.run(d0, dnl, 0.0, num_steps, sync=True)
+
+    # feeding the true rows into the model path must reproduce the
+    # exchanged trajectory exactly (the NN replaces the collective;
+    # perfect predictions -> identical dynamics)
+    (traj_m, shared_m), _ = solver.run(
+        d0, dnl, 0.0, num_steps, sync=False, preds=shared_true
+    )
+    (traj_s, _), _ = solver.run(d0, dnl, 0.0, num_steps, sync=True)
+    assert np.allclose(
+        np.asarray(traj_m), np.asarray(traj_s), atol=1e-12
+    )
