@@ -1,0 +1,155 @@
+"""LSTM encoder-decoder sequence model in pure JAX.
+
+Same architecture as the reference surrogate (Tools/DNN_tools.py:16-98):
+a stacked (default 2-layer) bidirectional LSTM encoder whose last-layer
+final (h, c) states — forward/backward concatenated — seed a single-layer
+unidirectional LSTM decoder of hidden size 2H with a Linear(2H -> input)
+head, decoded *recursively* (each output fed back as the next input,
+DNN_tools.py:118-127). Implemented as lax.scan LSTM cells over explicit
+parameter pytrees; gate order and initialization follow PyTorch's nn.LSTM
+(i, f, g, o gates; U(-1/sqrt(H), 1/sqrt(H))) so the torch-parity tests can
+copy weights 1:1.
+
+The whole model is a pytree of arrays — it vmaps over batch *and* over a
+leading per-shard model axis (per-shard surrogates are embarrassingly
+parallel, SURVEY.md §2.8), and the recursive decode is a scan, so online
+prediction of all 150 phase offsets is one batched compiled call.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(key, shape, k, dtype):
+    return jax.random.uniform(key, shape, minval=-k, maxval=k, dtype=dtype)
+
+
+def init_lstm_cell(key, input_size, hidden_size, dtype=jnp.float32):
+    """One LSTM cell, PyTorch layout: W_i (in, 4H), W_h (H, 4H), two biases."""
+    k = 1.0 / jnp.sqrt(hidden_size)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "Wi": _uniform(k1, (input_size, 4 * hidden_size), k, dtype),
+        "Wh": _uniform(k2, (hidden_size, 4 * hidden_size), k, dtype),
+        "bi": _uniform(k3, (4 * hidden_size,), k, dtype),
+        "bh": _uniform(k4, (4 * hidden_size,), k, dtype),
+    }
+
+
+def lstm_cell(p, x, h, c):
+    """x (B, in), h/c (B, H) -> (h', c'). Gate order i, f, g, o (PyTorch)."""
+    z = x @ p["Wi"] + h @ p["Wh"] + p["bi"] + p["bh"]
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c2 = f * c + i * g
+    h2 = o * jnp.tanh(c2)
+    return h2, c2
+
+
+def _run_direction(p, xs, reverse: bool):
+    """Scan a cell over time. xs (T, B, in) -> (outputs (T, B, H), (h, c))."""
+    B = xs.shape[1]
+    H = p["Wh"].shape[0]
+    h0 = jnp.zeros((B, H), dtype=xs.dtype)
+
+    def step(carry, x):
+        h, c = carry
+        h, c = lstm_cell(p, x, h, c)
+        return (h, c), h
+
+    (h, c), outs = jax.lax.scan(step, (h0, h0), xs, reverse=reverse)
+    if reverse:
+        # scan(reverse=True) emits outputs aligned with time going forward;
+        # the backward direction's output at time t is the state after
+        # consuming x[T-1..t] — which is exactly what it produces.
+        pass
+    return outs, (h, c)
+
+
+def init_seq2seq(
+    key,
+    input_size: int,
+    hidden_size: int,
+    num_layers_encoder: int = 2,
+    bidirectional: bool = True,
+    dtype=jnp.float32,
+):
+    """Parameter pytree for the encoder-decoder (LSTM_encoder_decoder,
+    DNN_tools.py:85-98)."""
+    keys = jax.random.split(key, 2 * num_layers_encoder + 2)
+    D = 2 if bidirectional else 1
+    enc = []
+    in_size = input_size
+    for l in range(num_layers_encoder):
+        layer = {"fwd": init_lstm_cell(keys[2 * l], in_size, hidden_size, dtype)}
+        if bidirectional:
+            layer["bwd"] = init_lstm_cell(
+                keys[2 * l + 1], in_size, hidden_size, dtype
+            )
+        enc.append(layer)
+        in_size = D * hidden_size
+    dec_hidden = D * hidden_size
+    kd, kf = keys[-2], keys[-1]
+    dec = init_lstm_cell(kd, input_size, dec_hidden, dtype)
+    kf1, kf2 = jax.random.split(kf)
+    kfan = 1.0 / jnp.sqrt(dec_hidden)
+    fc = {
+        "W": _uniform(kf1, (dec_hidden, input_size), kfan, dtype),
+        "b": _uniform(kf2, (input_size,), kfan, dtype),
+    }
+    return {"encoder": enc, "decoder": dec, "fc": fc}
+
+
+def encoder_forward(params, x):
+    """x (B, T, input) -> final last-layer states (hn, cn), each (B, D*H)
+    with forward/backward concatenated (LSTM_Encoder.forward,
+    DNN_tools.py:37-59)."""
+    xs = jnp.swapaxes(x, 0, 1)  # (T, B, in)
+    hn = cn = None
+    for layer in params["encoder"]:
+        out_f, (hf, cf) = _run_direction(layer["fwd"], xs, reverse=False)
+        if "bwd" in layer:
+            out_b, (hb, cb) = _run_direction(layer["bwd"], xs, reverse=True)
+            xs = jnp.concatenate([out_f, out_b], axis=-1)
+            hn = jnp.concatenate([hf, hb], axis=-1)
+            cn = jnp.concatenate([cf, cb], axis=-1)
+        else:
+            xs = out_f
+            hn, cn = hf, cf
+    return hn, cn
+
+
+def decoder_step(params, x, h, c):
+    """One recursive decoder step (LSTM_Decoder.forward, DNN_tools.py:77-80):
+    x (B, input) -> (y (B, input), h', c')."""
+    h2, c2 = lstm_cell(params["decoder"], x, h, c)
+    y = h2 @ params["fc"]["W"] + params["fc"]["b"]
+    return y, h2, c2
+
+
+def seq2seq_predict(params, x, n_future: int):
+    """Full forward: encode x (B, n_past, input), recursively decode
+    n_future steps starting from the last input step (model_predict /
+    model_train decode loop, DNN_tools.py:118-127, 212-234).
+    Returns (B, n_future, input)."""
+    hn, cn = encoder_forward(params, x)
+    x_last = x[:, -1, :]
+
+    def step(carry, _):
+        xi, h, c = carry
+        y, h, c = decoder_step(params, xi, h, c)
+        return (y, h, c), y
+
+    _, ys = jax.lax.scan(step, (x_last, hn, cn), None, length=n_future)
+    return jnp.swapaxes(ys, 0, 1)  # (B, n_future, input)
+
+
+def num_params(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

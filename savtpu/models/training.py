@@ -1,0 +1,209 @@
+"""Surrogate training: optax Adam + per-epoch exponential LR decay.
+
+Faithful to the reference loop (Model_training.py:65-139, DNN_tools.py:
+103-207): MSE over the recursive n_future decode, Adam(lr0) with
+lr = lr0 * decay^epoch (LambdaLR semantics), shuffled mini-batches of size
+nB (last ragged batch kept), per-epoch train + validation with R^2 and
+relative-error accuracies accumulated per batch and divided by the batch
+count. Epoch count = floor(log_decay(lr_min/lr0)) = 3450 at the defaults.
+
+TPU-first mechanics: each epoch's full-size batches are stacked into one
+(Nb, nB, T, D) tensor and scanned inside a single jitted update, so an
+epoch is one (or two, with a ragged tail) device calls instead of Nb
+Python-dispatched steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import SurrogateConfig
+from .lstm import init_seq2seq, seq2seq_predict
+
+
+def mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def batch_metrics(out, truth):
+    """(loss, r2, rel) of one batch (DNN_tools.py:146-157)."""
+    loss = mse(out, truth)
+    r2 = 1.0 - loss / mse(truth, jnp.mean(truth))
+    rel = 1.0 - loss / jnp.mean(truth**2)
+    return loss, r2, rel
+
+
+@dataclass
+class TrainState:
+    params: Dict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation
+    n_future: int
+
+    def loss_fn(self, params, X, Y):
+        out = seq2seq_predict(params, X, self.n_future)
+        return mse(out, Y), out
+
+
+def _make_epoch_fns(state: TrainState):
+    tx, n_future = state.tx, state.n_future
+
+    def loss_fn(params, X, Y):
+        out = seq2seq_predict(params, X, n_future)
+        loss = mse(out, Y)
+        return loss, out
+
+    def train_batch(carry, batch):
+        params, opt_state = carry
+        X, Y = batch
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, X, Y
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        _, r2, rel = batch_metrics(out, Y)
+        return (params, opt_state), jnp.stack([loss, r2, rel])
+
+    @jax.jit
+    def train_epoch(params, opt_state, Xb, Yb):
+        (params, opt_state), stats = jax.lax.scan(
+            train_batch, (params, opt_state), (Xb, Yb)
+        )
+        return params, opt_state, stats.sum(axis=0)
+
+    @jax.jit
+    def eval_batch(params, X, Y):
+        out = seq2seq_predict(params, X, n_future)
+        return jnp.stack(batch_metrics(out, Y))
+
+    return train_epoch, eval_batch
+
+
+def _stack_batches(X, Y, bs):
+    """Split (G, ...) into a stacked (Nb, bs, ...) tensor + ragged tail."""
+    n_full = (X.shape[0] // bs) * bs
+    Xb = X[:n_full].reshape(-1, bs, *X.shape[1:])
+    Yb = Y[:n_full].reshape(-1, bs, *Y.shape[1:])
+    tail = (X[n_full:], Y[n_full:]) if X.shape[0] > n_full else None
+    return Xb, Yb, tail
+
+
+def evaluate(state: TrainState, X, Y, batch_size: int):
+    """Validation pass (model_test, DNN_tools.py:170-207): per-batch metric
+    sums / batch count, unshuffled."""
+    _, eval_batch = _make_epoch_fns(state)
+    tot = np.zeros(3)
+    nb = 0
+    for s in range(0, X.shape[0], batch_size):
+        stats = eval_batch(state.params, X[s : s + batch_size], Y[s : s + batch_size])
+        tot += np.asarray(stats)
+        nb += 1
+    return tot / max(nb, 1)
+
+
+def fit(
+    cfg: SurrogateConfig,
+    X_train,
+    Y_train,
+    X_val=None,
+    Y_val=None,
+    params=None,
+    log_every: int = 50,
+    log_fn=print,
+) -> Tuple[Dict, Dict[str, List[float]]]:
+    """Train a seq2seq surrogate; returns (params, history dict)."""
+    dtype = jnp.dtype(cfg.dtype)
+    X_train = jnp.asarray(X_train, dtype=dtype)
+    Y_train = jnp.asarray(Y_train, dtype=dtype)
+    input_size = X_train.shape[-1]
+
+    key = jax.random.PRNGKey(cfg.seed)
+    kinit, kshuf = jax.random.split(key)
+    if params is None:
+        params = init_seq2seq(
+            kinit,
+            input_size,
+            cfg.hidden_size,
+            cfg.num_layers_encoder,
+            cfg.bidirectional,
+            dtype=dtype,
+        )
+
+    num_epochs = cfg.epochs
+    n_train = X_train.shape[0]
+    bs = min(cfg.batch_size, n_train)
+    steps_per_epoch = -(-n_train // bs)
+    schedule = lambda step: cfg.learning_rate * (
+        cfg.decay ** (step // steps_per_epoch)
+    )
+    tx = optax.adam(schedule)
+    state = TrainState(params, tx.init(params), tx, cfg.n_future)
+    train_epoch, eval_batch = _make_epoch_fns(state)
+
+    hist = {k: [] for k in (
+        "train_loss", "train_r2", "train_rel",
+        "val_loss", "val_r2", "val_rel",
+    )}
+
+    np_rng = np.random.default_rng(cfg.seed + 1)
+    params, opt_state = state.params, state.opt_state
+    for epoch in range(num_epochs):
+        perm = np_rng.permutation(n_train)
+        Xs, Ys = X_train[perm], Y_train[perm]
+        Xb, Yb, tail = _stack_batches(Xs, Ys, bs)
+        nb = Xb.shape[0]
+        tot = np.zeros(3)
+        if nb:
+            params, opt_state, stats = train_epoch(params, opt_state, Xb, Yb)
+            tot += np.asarray(stats)
+        if tail is not None:
+            # single ragged batch: reuse the scan body via a length-1 scan
+            # (a second compiled shape, cached after epoch 0)
+            Xt, Yt = tail
+            params, opt_state, stats = train_epoch(
+                params, opt_state, Xt[None], Yt[None]
+            )
+            tot += np.asarray(stats)
+            nb += 1
+        tot /= max(nb, 1)
+        hist["train_loss"].append(float(tot[0]))
+        hist["train_r2"].append(float(tot[1]))
+        hist["train_rel"].append(float(tot[2]))
+
+        if X_val is not None and len(X_val):
+            vt = np.zeros(3)
+            vb = 0
+            for s in range(0, X_val.shape[0], bs):
+                stats = eval_batch(
+                    params,
+                    jnp.asarray(X_val[s : s + bs], dtype=dtype),
+                    jnp.asarray(Y_val[s : s + bs], dtype=dtype),
+                )
+                vt += np.asarray(stats)
+                vb += 1
+            vt /= max(vb, 1)
+            hist["val_loss"].append(float(vt[0]))
+            hist["val_r2"].append(float(vt[1]))
+            hist["val_rel"].append(float(vt[2]))
+
+        if log_every and epoch % log_every == 0:
+            lr = cfg.learning_rate * cfg.decay**epoch
+            log_fn(
+                f"epoch {epoch}: train mse {tot[0]:.5e} r2 {tot[1]:.4f}"
+                + (
+                    f" | val mse {vt[0]:.5e} r2 {vt[1]:.4f}"
+                    if X_val is not None and len(X_val)
+                    else ""
+                )
+                + f" | lr {lr:.3e}"
+            )
+
+    state.params, state.opt_state = params, opt_state
+    return params, hist
