@@ -1,0 +1,152 @@
+"""savtpu benchmark — prints ONE JSON line with the headline metric.
+
+Metric: explicit timesteps/sec of the synchronization-avoiding (comm-free)
+stepper on the reference benchmark problem (25x1x1 cantilever, 2 spatial
+shards, BASELINE.md configuration), run on the available accelerator in
+float32. ``vs_baseline``: speedup over a NumPy/SciPy implementation of the
+reference's per-step hot loop (SciPy CSR matvec + vector algebra,
+Tools/Dynamic_solver.py:9-34) timed in-process on the host CPU — the
+reference repo publishes no numbers (BASELINE.json `published: {}`), so
+its own algorithm re-timed on this machine is the baseline.
+
+Extended measurements (exchanged-mode throughput, sync-avoid speedup vs
+exchanged, predictor overhead) go to BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _numpy_baseline_steps_per_sec(prob, maps, n_steps=2000):
+    """Reference-equivalent per-rank hot loop: SciPy CSR matvec + vector
+    update in a Python time loop (per-step cost model of the reference at
+    MODEL=True, i.e. without MPI)."""
+    import scipy.sparse as sp_sparse
+
+    from savtpu.ops.assembly import assemble_dense
+
+    cells = prob.mesh.tetra
+    rank_ops = []
+    for p in range(maps.n_parts):
+        nodes = maps.local_nodes[p]
+        gdofs = (3 * nodes[:, None] + np.arange(3)).reshape(-1)
+        lookup = {int(g): i for i, g in enumerate(nodes)}
+        K_loc = np.zeros((3 * len(nodes), 3 * len(nodes)))
+        Ke = np.asarray(prob.Ke)
+        for e in maps.local_elements[p]:
+            loc = np.array([lookup[int(n)] for n in cells[e]])
+            ed = (3 * loc[:, None] + np.arange(3)).reshape(-1)
+            K_loc[np.ix_(ed, ed)] += Ke[e]
+        rank_ops.append(
+            (
+                sp_sparse.csr_matrix(K_loc),
+                np.asarray(prob.F_pre)[gdofs].reshape(-1, 1),
+                np.asarray(prob.lumped_M)[gdofs].reshape(-1, 1),
+                maps.local_dirichlet[p],
+            )
+        )
+
+    dt, alpha = prob.dt, prob.alpha
+    states = [
+        (np.zeros_like(F), np.zeros_like(F)) for _, F, _, _ in rank_ops
+    ]
+    t0 = time.perf_counter()
+    tn = 0.0
+    for i in range(n_steps):
+        ramp = min(tn, 1.0)
+        for p, (K, F_pre, lM, dirich) in enumerate(rank_ops):
+            d0, dn = states[p]
+            F_int = K.dot(d0)
+            F_ext = F_pre * ramp
+            d1 = (
+                dt * dt * (F_ext - F_int)
+                + 2 * lM * d0
+                - lM * dn
+                + 0.5 * dt * alpha * lM * dn
+            ) / (lM + 0.5 * alpha * dt * lM)
+            d1[dirich] = 0.0
+            states[p] = (d1, d0)
+        tn += dt
+    elapsed = time.perf_counter() - t0
+    return n_steps / elapsed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from savtpu.config import Config
+    from savtpu.mesh import dirichlet_nodes, read_vtk
+    from savtpu.parallel import ShardedProblem, build_partition_maps, partition_elements
+    from savtpu.parallel.sharded import ShardedSolver
+    from savtpu.solvers import setup_problem
+
+    cfg = Config()
+    ref_mesh = Path("/root/reference/Mesh_info/beam_coarse.vtk")
+    mesh = read_vtk(ref_mesh) if ref_mesh.exists() else None
+
+    prob = setup_problem(cfg, mesh=mesh, dtype=jnp.float64)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dnodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
+    )
+
+    # device path in float32 (benchmark dtype; parity runs use f64 on host)
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense", dtype=jnp.float32)
+    solver = ShardedSolver(sp, mesh=None)  # single-chip emulated shards
+    d0 = sp.localize(np.zeros(prob.ndof, np.float32))
+    dn = sp.localize(np.zeros(prob.ndof, np.float32))
+
+    n_steps = 30_000
+
+    def timed(sync):
+        (_, _), carry = solver.run(
+            d0, dn, 0.0, n_steps, sync=sync, record="none"
+        )  # compile
+        jax.block_until_ready(carry)
+        t0 = time.perf_counter()
+        (_, _), carry = solver.run(
+            d0, dn, 0.0, n_steps, sync=sync, record="none"
+        )
+        jax.block_until_ready(carry)
+        return n_steps / (time.perf_counter() - t0)
+
+    avoid_sps = timed(sync=False)
+    exch_sps = timed(sync=True)
+    base_sps = _numpy_baseline_steps_per_sec(prob, maps)
+
+    n_elem = len(prob.mesh.tetra)
+    details = {
+        "problem": "cantilever beam, 110 nodes / 256 tets, 2 shards",
+        "device": str(jax.devices()[0]),
+        "sync_avoiding_steps_per_sec": avoid_sps,
+        "exchanged_steps_per_sec": exch_sps,
+        "numpy_reference_loop_steps_per_sec": base_sps,
+        "sync_avoid_over_exchanged": avoid_sps / exch_sps,
+        "element_updates_per_sec": avoid_sps * n_elem,
+        "speedup_vs_numpy_reference": avoid_sps / base_sps,
+    }
+    Path("BENCH_DETAILS.json").write_text(json.dumps(details, indent=2))
+
+    print(
+        json.dumps(
+            {
+                "metric": "sync_avoiding_timesteps_per_sec",
+                "value": round(avoid_sps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(avoid_sps / base_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

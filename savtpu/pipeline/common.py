@@ -1,0 +1,84 @@
+"""Shared stage context: mesh -> assembly -> partition -> sharded problem.
+
+The reference duplicates this entire setup between Data_prepare.py:56-208
+and Online_predictor.py:69-235 (near-verbatim, a documented drift hazard);
+here it is built once and shared by the stage drivers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io.artifacts import ArtifactStore
+from ..mesh import dirichlet_nodes
+from ..parallel import (
+    ShardedProblem,
+    build_partition_maps,
+    partition_elements,
+)
+from ..parallel.halo import PartitionMaps
+from ..parallel.sharded import ShardedSolver
+from ..solvers import setup_problem
+from ..solvers.problem import AssembledProblem
+
+
+@dataclass
+class StageContext:
+    cfg: Config
+    prob: AssembledProblem
+    maps: PartitionMaps
+    sp: ShardedProblem
+    solver: ShardedSolver
+    store: ArtifactStore
+
+
+def build_context(
+    cfg: Config,
+    mesh=None,
+    device_mesh=None,
+    dtype=jnp.float64,
+) -> StageContext:
+    prob = setup_problem(cfg, mesh=mesh, dtype=dtype)
+    epart = partition_elements(
+        prob.mesh.tetra,
+        prob.mesh.points,
+        cfg.partition.n_parts,
+        method=cfg.partition.method,
+    )
+    dnodes = dirichlet_nodes(
+        prob.mesh.triangles,
+        prob.mesh.points,
+        axis=cfg.partition.dirichlet_axis,
+        value=cfg.partition.dirichlet_value,
+        tol=cfg.partition.dirichlet_tol,
+    )
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
+    )
+    sp = ShardedProblem.build(
+        prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype
+    )
+    solver = ShardedSolver(sp, mesh=device_mesh)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    return StageContext(cfg, prob, maps, sp, solver, store)
+
+
+def save_partition_labels(ctx: StageContext) -> None:
+    """Rank-wise node/element/shared CSV labels (Data_prepare.py:116-124)."""
+    maps, store = ctx.maps, ctx.store
+    for r in range(maps.n_parts):
+        store.save_int_csv(store.local_nodes_csv(r), maps.local_nodes[r])
+        store.save_int_csv(store.shared_csv(r), maps.shared_nodes[r])
+        store.save_int_csv(store.elements_csv(r), maps.local_elements[r])
+    store.save_int_csv(store.global_shared_csv(), maps.global_shared)
+
+
+def rank_trajectory(ctx: StageContext, traj, r: int) -> np.ndarray:
+    """(P, T, DL) stacked trajectory -> reference layout (3*n_local, T)."""
+    n_real = 3 * len(ctx.maps.local_nodes[r])
+    return np.asarray(traj[r][:, :n_real]).T

@@ -1,0 +1,90 @@
+"""Stage 1: distributed explicit solve producing training data.
+
+TPU-native equivalent of Data_prepare.py — mesh, partition, label CSVs,
+steady solve + VTK, and the full exchanged-mode explicit run saved as
+per-rank HDF5 displacement histories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..io.artifacts import save_displacement
+from ..mesh import write_vtk
+from ..solvers.steady import steady_solve
+from .common import StageContext, build_context, rank_trajectory, save_partition_labels
+
+
+def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
+    if ctx is None:
+        ctx = build_context(cfg)
+    prob, sp, solver, store = ctx.prob, ctx.sp, ctx.solver, ctx.store
+
+    save_partition_labels(ctx)
+
+    # steady solve + VTK (Data_prepare.py:158-168); the element force Fe is
+    # the unramped steady load (F_pre was assembled from it).
+    from ..ops.element import batch_element_mkf
+    import dataclasses as _dc
+
+    mat_steady = _dc.replace(prob.material, ramped=False)
+    _, _, Fe = batch_element_mkf(
+        prob.deg, prob.n_quad, mat_steady, 0.0, prob.coords
+    )
+    d_steady = np.asarray(
+        steady_solve(prob.Ke, Fe, prob.edofs, prob.ndof, prob.dirichlet_dofs)
+    )
+    write_vtk(
+        store.steady_vtk(),
+        prob.mesh,
+        point_data={
+            "displacement-x": d_steady[0::3],
+            "displacement-y": d_steady[1::3],
+            "displacement-z": d_steady[2::3],
+        },
+    )
+
+    num_steps = cfg.solver.num_steps
+    save_every = cfg.solver.save_every
+    if verbose:
+        print(f"[data_prepare] dt={prob.dt:.16e}, {num_steps} steps, "
+              f"{sp.n_parts} parts, fint={sp.fint_mode}")
+
+    d0 = sp.localize(prob.d0)
+    dn = sp.localize(prob.dn)
+    t_start = time.perf_counter()
+    (traj, _), carry = solver.run(d0, dn, 0.0, num_steps, sync=True,
+                                  record="all")
+    traj = np.asarray(traj)
+    elapsed = time.perf_counter() - t_start
+    if verbose:
+        print(f"[data_prepare] {num_steps} steps in {elapsed:.2f}s "
+              f"({num_steps/elapsed:.0f} steps/s)")
+
+    if save_every > 1:
+        traj = traj[:, ::save_every, :]
+    for r in range(sp.n_parts):
+        save_displacement(store.dynamics_h5(r), rank_trajectory(ctx, traj, r))
+    return ctx
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="savtpu stage 1: data prepare")
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--parts", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = Config.from_json(args.config) if args.config else Config()
+    if args.steps:
+        cfg.solver.num_steps = args.steps
+    if args.parts:
+        cfg.partition.n_parts = args.parts
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Stage 4: the synchronization-avoiding hybrid run.
+
+Equivalent of Online_predictor.py:251-318. Schedule: i_cri+1 = n_p*n_s
+synchronized steps (one compiled scan *with* the shared-DOF psum per step),
+then repeated blocks of n_f*n_s = 3000 steps compiled with NO collective at
+all — each block's shared DOFs come from one batched phase-interleaved LSTM
+prediction per rank, fed into the scan as inputs. The outer Python loop
+runs ~33 iterations; everything inside is jitted.
+
+Scaling constants are recomputed from the stored training traces exactly
+as the reference does (Online_predictor.py:128-136) and cross-checked
+against the training sidecar.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io.artifacts import (
+    load_displacement,
+    load_params,
+    save_displacement,
+)
+from ..models import (
+    init_seq2seq,
+    phase_interleaved_predict,
+    scale_to_zero_one,
+    strided_windows,
+)
+from .common import StageContext, build_context, rank_trajectory, save_partition_labels
+
+
+def load_rank_models(ctx: StageContext):
+    """Rebuild per-rank surrogates from the stage-3 artifacts
+    (call_model, DNN_prediction.py:18-34, without the re-hardcoded
+    architecture: it comes from the sidecar)."""
+    import jax
+
+    from ..io.artifacts import load_params_meta
+
+    sur = ctx.cfg.surrogate
+    models = []
+    for r in range(ctx.sp.n_parts):
+        meta = load_params_meta(ctx.store.model_file(r))
+        template = init_seq2seq(
+            jax.random.PRNGKey(0),
+            meta["input_size"],
+            meta["hidden_size"],
+            meta["num_layers_encoder"],
+            meta["bidirectional"],
+            dtype=jnp.dtype(sur.dtype),
+        )
+        params = load_params(ctx.store.model_file(r), template)
+
+        # recompute the scaling constants from the stored trace, like the
+        # reference; cross-check against the sidecar values.
+        trace = load_displacement(ctx.store.shared_dof_h5(r)).T
+        X, Y = strided_windows(
+            trace, sur.n_past, sur.n_future, sur.filter_size, sur.cut_off
+        )
+        _, _, smax, smin = scale_to_zero_one(X, Y)
+        if not np.isclose(smax, meta["scale_max"], rtol=1e-10) or not (
+            np.isclose(smin, meta["scale_min"], rtol=1e-10)
+        ):
+            raise ValueError(
+                f"rank {r}: scaling constants drifted between training "
+                f"({meta['scale_max']}, {meta['scale_min']}) and online "
+                f"({smax}, {smin})"
+            )
+        models.append((params, float(smax), float(smin)))
+    return models
+
+
+def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
+    if ctx is None:
+        ctx = build_context(cfg)
+    prob, sp, solver, store, maps = (
+        ctx.prob, ctx.sp, ctx.solver, ctx.store, ctx.maps,
+    )
+    sur = cfg.surrogate
+    save_partition_labels(ctx)
+    models = load_rank_models(ctx)
+
+    num_steps = cfg.solver.num_steps
+    n_sync = sur.i_cri + 1          # 3000 synchronized steps
+    block = sur.block_size          # 3000-step comm-free refill blocks
+    P = sp.n_parts
+    S3 = sp.sld.shape[1]
+    state_dtype = sp.lM.dtype
+
+    if verbose:
+        print(
+            f"[online] {n_sync} synced + {num_steps - n_sync} comm-free "
+            f"steps in blocks of {block} ({P} parts)"
+        )
+
+    # shared-DOF history (P, num_steps, 3*S_max) — feeds the predictor
+    shared_hist = np.zeros((P, num_steps, S3))
+
+    t_start = time.perf_counter()
+    d0 = sp.localize(prob.d0)
+    dn = sp.localize(prob.dn)
+    (traj0, shared0), carry = solver.run(
+        d0, dn, 0.0, n_sync, sync=True, record="all"
+    )
+    shared_hist[:, :n_sync] = np.asarray(shared0)
+    trajs = [np.asarray(traj0)]
+
+    i = n_sync
+    while i < num_steps:
+        n = min(block, num_steps - i)
+        preds = np.zeros((P, n, S3))
+        for r in range(P):
+            Dr = 3 * len(maps.shared_nodes[r])
+            if Dr == 0:
+                continue
+            params, smax, smin = models[r]
+            hist = jnp.asarray(
+                shared_hist[r, i - sur.n_past * sur.filter_size : i, :Dr],
+                dtype=jnp.dtype(sur.dtype),
+            )
+            blockpred = phase_interleaved_predict(
+                params, hist, smax, smin,
+                sur.n_past, sur.n_future, sur.filter_size,
+            )
+            preds[r, :, :Dr] = np.asarray(blockpred)[:n]
+        d0c, dnc, tc = carry
+        (traj_b, shared_b), carry = solver.run(
+            d0c, dnc, tc, n,
+            sync=False, preds=jnp.asarray(preds, dtype=state_dtype),
+        )
+        shared_hist[:, i : i + n] = np.asarray(shared_b)
+        trajs.append(np.asarray(traj_b))
+        i += n
+        if verbose:
+            print(f"[online] step {i}/{num_steps}")
+
+    elapsed = time.perf_counter() - t_start
+    if verbose:
+        print(
+            f"[online] {num_steps} steps in {elapsed:.2f}s "
+            f"({num_steps/elapsed:.0f} steps/s)"
+        )
+
+    traj = np.concatenate(trajs, axis=1)  # (P, T, DL)
+    if cfg.solver.save_every > 1:
+        traj = traj[:, :: cfg.solver.save_every, :]
+    for r in range(P):
+        save_displacement(store.modeled_h5(r), rank_trajectory(ctx, traj, r))
+    return ctx
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="savtpu stage 4: online predictor")
+    ap.add_argument("--config", type=str, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args(argv)
+    cfg = Config.from_json(args.config) if args.config else Config()
+    if args.steps:
+        cfg.solver.num_steps = args.steps
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

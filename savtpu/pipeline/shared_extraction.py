@@ -1,0 +1,46 @@
+"""Stage 2: extract shared-DOF displacement traces.
+
+Equivalent of Shared_extraction.py: per rank, map the shared global node
+ids to local ids to DOFs using only the stage-1 CSV artifacts, slice the
+saved displacement history rows, and save the (3*|shared|, T) trace.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..config import Config
+from ..io.artifacts import ArtifactStore, load_displacement, save_displacement
+
+
+def shared_dof_indices(local_nodes: np.ndarray, shared: np.ndarray) -> np.ndarray:
+    """Interleaved DOF rows of the shared nodes inside the local DOF vector
+    (node_to_dof(3, [0,1,2], local_mat_node(...)), Shared_extraction.py:27)."""
+    lookup = {int(g): i for i, g in enumerate(local_nodes)}
+    loc = np.array([lookup[int(g)] for g in shared], dtype=np.int64)
+    return (3 * loc[:, None] + np.arange(3)[None, :]).reshape(-1)
+
+
+def run(cfg: Config, n_parts: int | None = None):
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_parts = n_parts or cfg.partition.n_parts
+    for r in range(n_parts):
+        local_nodes = store.load_int_csv(store.local_nodes_csv(r))
+        shared = store.load_int_csv(store.shared_csv(r))
+        data = load_displacement(store.dynamics_h5(r))
+        rows = shared_dof_indices(local_nodes, shared)
+        save_displacement(store.shared_dof_h5(r), data[rows, :])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="savtpu stage 2: shared extraction")
+    ap.add_argument("--config", type=str, default=None)
+    args = ap.parse_args(argv)
+    cfg = Config.from_json(args.config) if args.config else Config()
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

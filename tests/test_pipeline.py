@@ -1,0 +1,74 @@
+"""End-to-end pipeline test: all 5 stages on a scaled-down schedule
+(small beam, n_p=n_f=4, n_s=5 -> 20 synced steps + 20-step comm-free
+blocks), checking the artifact contract and that the hybrid trajectory
+stays bounded. The full-size schedule runs in the benchmark, not in CI."""
+
+import numpy as np
+import pytest
+
+from savtpu.config import Config
+from savtpu.io.artifacts import ArtifactStore, load_displacement
+from savtpu.pipeline import run_all
+
+
+def _smoke_cfg(tmp_path, num_steps=100):
+    cfg = Config()
+    cfg.workdir = str(tmp_path / "Results")
+    cfg.model_dir = str(tmp_path / "Distributed_save")
+    cfg.beam_cells = (6, 1, 1)
+    cfg.beam_extent = (6.0, 1.0, 1.0)
+    cfg.partition.n_parts = 2
+    cfg.solver.num_steps = num_steps
+    s = cfg.surrogate
+    s.n_past = 4
+    s.n_future = 4
+    s.filter_size = 5
+    s.cut_off = 0.5
+    s.batch_size = 2
+    s.num_epochs = 40
+    s.hidden_size = 8
+    s.learning_rate = 2e-3
+    return cfg
+
+
+def test_pipeline_end_to_end(tmp_path):
+    cfg = _smoke_cfg(tmp_path)
+    metrics = run_all.run(cfg, verbose=False)
+
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    # stage 1 artifacts
+    for r in range(2):
+        nodes = store.load_int_csv(store.local_nodes_csv(r))
+        data = load_displacement(store.dynamics_h5(r))
+        assert data.shape == (3 * len(nodes), cfg.solver.num_steps)
+        shared = store.load_int_csv(store.shared_csv(r))
+        assert len(shared) > 0
+        # stage 2
+        trace = load_displacement(store.shared_dof_h5(r))
+        assert trace.shape == (3 * len(shared), cfg.solver.num_steps)
+        # stage 3
+        assert store.model_file(r).exists()
+        assert store.model_run_dir(r).joinpath("train_loss.csv").exists()
+        # stage 4
+        pred = load_displacement(store.modeled_h5(r))
+        assert pred.shape == data.shape
+        assert np.isfinite(pred).all()
+        # hybrid run stays the exact run during the synced warm-up
+        n_sync = cfg.surrogate.i_cri + 1
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        # trajectory magnitude stays physical (no blow-up)
+        assert np.abs(pred).max() < 10 * max(np.abs(data).max(), 1e-12)
+    # stage 5
+    assert (tmp_path / "Results" / "Comparison.pdf").exists()
+    assert all(np.isfinite(v) for v in metrics.values()
+               if isinstance(v, float))
+
+
+def test_pipeline_partial_last_block(tmp_path):
+    """num_steps not a multiple of the block size: the final comm-free
+    block is truncated (reference's break at Online_predictor.py:286)."""
+    cfg = _smoke_cfg(tmp_path, num_steps=90)  # 20 sync + 3x20 + 10
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    pred = load_displacement(store.modeled_h5(0))
+    assert pred.shape[1] == 90
