@@ -142,9 +142,10 @@ class FIntOperator:
             return self._dense @ d
         if self.mode == "bcoo":
             return self._bcoo @ d
-        # element-by-element
+        # element-by-element (multiply+reduce: einsum('eij,ej->ei') lowers
+        # poorly on TPU for small inner dims)
         d_e = d[self.edofs]  # (E, 3nb)
-        f_e = jnp.einsum("eij,ej->ei", self.Ke, d_e)
+        f_e = jnp.sum(self.Ke * d_e[:, None, :], axis=-1)
         return jax.ops.segment_sum(
             f_e.reshape(-1), self.edofs.reshape(-1), num_segments=self.ndof
         )

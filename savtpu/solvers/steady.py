@@ -46,6 +46,31 @@ def ghost_step_init(Me, Ke, Fe_t0, edofs, ndof: int, dirichlet_dofs, d0, v0, dt:
     return d0 - dt * v0 + 0.5 * dt * dt * a0
 
 
+def ghost_step_init_cg(
+    Me, Ke, Fe_t0, edofs, ndof: int, dirichlet_dofs, d0, v0, dt: float,
+    tol: float = 1e-12,
+):
+    """Matrix-free variant of ghost_step_init for large meshes: solves
+    M a0 = F(0) - K d0 with jax.scipy CG on element-by-element operators
+    (consistent M is SPD after the Dirichlet unit-diagonal treatment)."""
+    import jax.scipy.sparse.linalg as jsla
+
+    from ..ops.assembly import FIntOperator, dirichlet_mask
+
+    keep = dirichlet_mask(ndof, dirichlet_dofs, dtype=d0.dtype)
+    Mop = FIntOperator(Me, edofs, ndof, mode="ebe")
+    Kop = FIntOperator(Ke, edofs, ndof, mode="ebe")
+    F = assemble_vector(Fe_t0, edofs, ndof) * keep
+    rhs = F - Kop(d0) * keep
+
+    def mat(x):
+        # M with Dirichlet rows/cols zeroed + unit diagonal
+        return Mop(x * keep) * keep + x * (1.0 - keep)
+
+    a0, _ = jsla.cg(mat, rhs, tol=tol, maxiter=500)
+    return d0 - dt * v0 + 0.5 * dt * dt * a0
+
+
 def eigen_modes(Me, Ke, edofs, ndof: int, dirichlet_dofs, num: int = 50):
     """First ``num`` natural frequencies (Hz) of K phi = w^2 M phi.
 

@@ -1,0 +1,93 @@
+"""Full reference-scale pipeline validation.
+
+Runs the complete 5-stage pipeline at the reference benchmark
+configuration (BASELINE.md): reference cantilever mesh (110 nodes), 2
+parts, 1e5 explicit steps, n_p=n_f=20, n_s=150, n_ts=0.5, nH=50, nB=10,
+Adam 5e-4 with 0.998 decay for 3450 epochs — then reports the
+truth-vs-predicted rel-L2 metrics. float64 on CPU (the parity dtype).
+
+Usage: python scripts/full_reference_run.py [--epochs N] [--steps N]
+Writes artifacts under runs/full_reference/ and a summary JSON.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=100_000)
+    ap.add_argument("--out", type=str, default="runs/full_reference")
+    args = ap.parse_args()
+
+    from savtpu.config import Config
+    from savtpu.pipeline import run_all
+
+    out = Path(args.out)
+    cfg = Config()
+    ref_mesh = "/root/reference/Mesh_info/beam_coarse.vtk"
+    if Path(ref_mesh).exists():
+        cfg.mesh_path = ref_mesh
+    cfg.workdir = str(out / "Results")
+    cfg.model_dir = str(out / "Distributed_save")
+    cfg.partition.n_parts = 2
+    cfg.solver.num_steps = args.steps
+    if args.epochs:
+        cfg.surrogate.num_epochs = args.epochs
+
+    stamps = {"start": time.time()}
+    from savtpu.pipeline import (
+        data_prepare,
+        model_training,
+        online_predictor,
+        plotter,
+        shared_extraction,
+    )
+    from savtpu.pipeline.common import build_context
+
+    ctx = build_context(cfg)
+    stamps["setup_done"] = time.time()
+    data_prepare.run(cfg, ctx=ctx)
+    stamps["stage1_done"] = time.time()
+    shared_extraction.run(cfg)
+    stamps["stage2_done"] = time.time()
+    model_training.run(cfg)
+    stamps["stage3_done"] = time.time()
+    online_predictor.run(cfg, ctx=ctx)
+    stamps["stage4_done"] = time.time()
+    metrics = plotter.run(cfg)
+    stamps["stage5_done"] = time.time()
+
+    summary = {
+        "config": {
+            "steps": cfg.solver.num_steps,
+            "epochs": cfg.surrogate.epochs,
+            "n_parts": cfg.partition.n_parts,
+        },
+        "timings_s": {
+            "setup": stamps["setup_done"] - stamps["start"],
+            "stage1_solve": stamps["stage1_done"] - stamps["setup_done"],
+            "stage2_extract": stamps["stage2_done"] - stamps["stage1_done"],
+            "stage3_train": stamps["stage3_done"] - stamps["stage2_done"],
+            "stage4_online": stamps["stage4_done"] - stamps["stage3_done"],
+            "stage5_plot": stamps["stage5_done"] - stamps["stage4_done"],
+        },
+        "metrics": metrics,
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

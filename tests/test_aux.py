@@ -1,0 +1,159 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling, Neo-Hookean path,
+P2 element invariants, modal analysis, VTK round-trip."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from savtpu.config import Config
+from savtpu.mesh import beam_mesh, read_vtk, write_vtk, dirichlet_nodes
+from savtpu.mesh.vtk_io import Mesh
+from savtpu.ops.element import batch_element_mkf, element_k, gather_coords
+from savtpu.ops.material import LinearElastic, NeoHookean
+from savtpu.ops.assembly import FIntOperator, element_dofs
+from savtpu.parallel import build_partition_maps, partition_elements
+from savtpu.parallel.sharded import ShardedProblem, ShardedSolver
+from savtpu.solvers import setup_problem, eigen_modes
+from savtpu.solvers.nonlinear import NeoHookeanFIntOperator
+from savtpu.utils import StepTimer, save_solver_state, load_solver_state
+from savtpu.utils.checkpoint import run_with_checkpoints
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    cfg = Config()
+    cfg.beam_cells = (6, 1, 1)
+    cfg.beam_extent = (6.0, 1.0, 1.0)
+    prob = setup_problem(cfg)
+    epart = partition_elements(prob.mesh.tetra, prob.mesh.points, 2, "rcb")
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    solver = ShardedSolver(sp)
+    d0, dn = sp.localize(prob.d0), sp.localize(prob.dn)
+
+    (traj_ref, _), carry_ref = solver.run(d0, dn, 0.0, 60, sync=True)
+
+    ck = tmp_path / "state.npz"
+    outs, carry, start = run_with_checkpoints(
+        solver, d0, dn, 0.0, 60, ck, ckpt_every=20, sync=True
+    )
+    assert start == 0 and ck.exists()
+    traj = np.concatenate([np.asarray(o[0]) for o in outs], axis=1)
+    assert np.array_equal(traj, np.asarray(traj_ref))
+    assert np.array_equal(np.asarray(carry[0]), np.asarray(carry_ref[0]))
+
+    # re-invoking with the completed checkpoint resumes past the end:
+    # nothing recomputed, final state preserved
+    outs2, carry2, start2 = run_with_checkpoints(
+        solver, d0 * 0, dn * 0, 0.0, 60, ck, ckpt_every=20, sync=True
+    )
+    # checkpoint said step 60 -> nothing to do, final carry preserved
+    assert start2 == 60 and outs2 == []
+
+
+def test_step_timer():
+    t = StepTimer(n_elements=100)
+    with t.section("solve"):
+        pass
+    out = t.throughput("solve", 10)
+    assert "timesteps_per_sec" in out and "element_updates_per_sec" in out
+
+
+def test_neo_hookean_linear_consistency():
+    """For infinitesimal displacements, NH internal force -> linear K d."""
+    cfg = Config()
+    cfg.beam_cells = (3, 1, 1)
+    cfg.beam_extent = (3.0, 1.0, 1.0)
+    prob = setup_problem(cfg)
+    mat_nh = NeoHookean.from_engineering(E=1e6, nu=0.3, rho=1.0, fz=0.5)
+    coords = prob.coords
+    op_nh = NeoHookeanFIntOperator(mat_nh, coords, prob.edofs, prob.ndof)
+    op_lin = FIntOperator(prob.Ke, prob.edofs, prob.ndof, mode="dense")
+    rng = np.random.default_rng(0)
+    for eps in [1e-5, 1e-6]:
+        d = jnp.asarray(eps * rng.normal(size=prob.ndof))
+        f_nh = np.asarray(op_nh(d))
+        f_lin = np.asarray(op_lin(d))
+        rel = np.linalg.norm(f_nh - f_lin) / np.linalg.norm(f_lin)
+        assert rel < 50 * eps, (eps, rel)
+    # zero displacement -> exactly zero stress
+    assert np.abs(np.asarray(op_nh(jnp.zeros(prob.ndof)))).max() < 1e-12
+
+
+def test_neo_hookean_explicit_run_stays_finite():
+    from savtpu.solvers import make_step_fn
+    from savtpu.solvers.explicit import run_explicit_jit
+
+    cfg = Config()
+    cfg.beam_cells = (4, 1, 1)
+    cfg.beam_extent = (4.0, 1.0, 1.0)
+    prob = setup_problem(cfg)
+    mat_nh = NeoHookean.from_engineering(E=1e6, nu=0.3, rho=1.0, fz=0.5)
+    op = NeoHookeanFIntOperator(mat_nh, prob.coords, prob.edofs, prob.ndof)
+    step = make_step_fn(
+        op, prob.F_pre, prob.lumped_M, prob.mask, prob.alpha, prob.dt
+    )
+    traj, _ = run_explicit_jit(step, prob.d0, prob.dn, 0.0, prob.dt, 200)
+    assert np.isfinite(np.asarray(traj)).all()
+    assert np.abs(np.asarray(traj)).max() < 1.0
+
+
+def test_p2_element_rigid_body_nullspace():
+    """P2 (10-node tet) stiffness: symmetric, rigid-body modes in the
+    nullspace — the steady-only P2 path of the reference
+    (Data_prepare.py:42 comment)."""
+    mat = LinearElastic.from_engineering(E=1e6, nu=0.3, rho=1.0, fz=0.5)
+    rng = np.random.default_rng(1)
+    verts = rng.uniform(-1, 1, (4, 3))
+    if np.linalg.det((verts.T @ oracle.P1_DERI)) < 0:
+        verts = verts[[1, 0, 2, 3]]
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3)]
+    mids = np.array([(verts[a] + verts[b]) / 2 for a, b in edges])
+    P = jnp.asarray(np.vstack([verts, mids]))
+    K = np.asarray(element_k(2, 2, mat, P))
+    assert K.shape == (30, 30)
+    assert np.allclose(K, K.T, atol=1e-7 * np.abs(K).max())
+    for c in range(3):
+        mode = np.zeros(30)
+        mode[c::3] = 1.0
+        assert np.abs(K @ mode).max() < 1e-7 * np.abs(K).max()
+    for w in np.eye(3):
+        nodes = np.asarray(P)
+        mode = np.cross(np.broadcast_to(w, (10, 3)), nodes).reshape(-1)
+        assert np.abs(K @ mode).max() < 1e-6 * np.abs(K).max()
+
+
+def test_eigen_modes_cantilever():
+    cfg = Config()
+    cfg.beam_cells = (6, 1, 1)
+    cfg.beam_extent = (6.0, 1.0, 1.0)
+    prob = setup_problem(cfg)
+    import dataclasses as dc
+
+    mat = dc.replace(prob.material, ramped=False)
+    from savtpu.ops.element import batch_element_mkf
+
+    Me, Ke, _ = batch_element_mkf(1, 2, mat, 0.0, prob.coords)
+    freqs = eigen_modes(
+        Me, Ke, prob.edofs, prob.ndof, prob.dirichlet_dofs, num=40
+    )
+    assert len(freqs) == 40
+    # constrained DOFs show up as ~zero-frequency modes (reference behavior)
+    n_con = len(prob.dirichlet_dofs)
+    assert np.all(freqs[: min(n_con, 40)] < 1e-3)
+    # first elastic frequency is positive and physically plausible
+    elastic = freqs[freqs > 1e-3]
+    assert len(elastic) > 0 and elastic[0] > 1.0
+
+
+def test_vtk_round_trip(tmp_path):
+    mesh = beam_mesh(3, 2, 2, extent=(3.0, 1.0, 1.0))
+    p = tmp_path / "m.vtk"
+    write_vtk(p, mesh, point_data={"f": np.arange(mesh.num_points, dtype=float)})
+    back = read_vtk(p)
+    assert np.allclose(back.points, mesh.points)
+    assert np.array_equal(back.tetra, mesh.tetra)
+    assert np.array_equal(back.triangles, mesh.triangles)
