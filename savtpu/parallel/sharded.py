@@ -333,46 +333,51 @@ class ShardedSolver:
                     f"{sp.n_parts} parts"
                 )
 
+    _DATA_FIELDS = (
+        "dof_mask", "bc_mask", "lM", "F_pre", "edofs", "Ke",
+        "sld", "sgi", "smask",
+    )
+
+    def _data(self):
+        """Per-part array pytree — passed as jit/shard_map *arguments* so
+        the multi-MB tensors never become baked-in HLO constants."""
+        sp = self.sp
+        data = {k: getattr(sp, k) for k in self._DATA_FIELDS}
+        if sp.denseK is not None:
+            data["denseK"] = sp.denseK
+        return data
+
+    def _local_view(self, data):
+        import dataclasses as _dc
+
+        return _dc.replace(
+            self.sp,
+            denseK=data.get("denseK"),
+            **{k: data[k] for k in self._DATA_FIELDS},
+        )
+
     def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
             record="all"):
         sp = self.sp
+        data = self._data()
+
         if self.mesh is None:
-            fn = jax.jit(
-                partial(
-                    sp.stacked_run,
-                    num_steps=num_steps,
-                    sync=sync,
-                    record=record,
-                ),
-                static_argnames=(),
-            )
-            return fn(d0, dn, t0, preds=preds)
+
+            def stacked(data, d0, dn, t0, preds):
+                lsp = self._local_view(data)
+                return lsp.stacked_run(
+                    d0, dn, t0, num_steps,
+                    sync=sync, preds=preds, record=record,
+                )
+
+            return jax.jit(stacked)(data, d0, dn, jnp.asarray(t0), preds)
 
         mesh = self.mesh
         spec = P(AXIS)
         pred_spec = P(AXIS) if preds is not None else None
 
-        # Shard the static per-part tensors too: rebuild a local view of
-        # the ShardedProblem inside shard_map by passing its arrays in.
-        data = dict(
-            dof_mask=sp.dof_mask, bc_mask=sp.bc_mask, lM=sp.lM,
-            F_pre=sp.F_pre, edofs=sp.edofs, Ke=sp.Ke, sld=sp.sld,
-            sgi=sp.sgi, smask=sp.smask,
-        )
-        if sp.denseK is not None:
-            data["denseK"] = sp.denseK
-
         def local_run(data, d0, dn, t0, preds):
-            import dataclasses as _dc
-
-            lsp = _dc.replace(
-                sp,
-                denseK=data.get("denseK"),
-                dof_mask=data["dof_mask"], bc_mask=data["bc_mask"],
-                lM=data["lM"], F_pre=data["F_pre"], edofs=data["edofs"],
-                Ke=data["Ke"], sld=data["sld"], sgi=data["sgi"],
-                smask=data["smask"],
-            )
+            lsp = self._local_view(data)
             reduce_fn = (
                 (lambda x: jax.lax.psum(x, AXIS)) if sync else (lambda x: x)
             )
