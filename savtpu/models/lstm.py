@@ -134,17 +134,24 @@ def decoder_step(params, x, h, c):
     return y, h2, c2
 
 
-def seq2seq_predict(params, x, n_future: int):
+def seq2seq_predict(params, x, n_future: int, feat_mask=None):
     """Full forward: encode x (B, n_past, input), recursively decode
     n_future steps starting from the last input step (model_predict /
     model_train decode loop, DNN_tools.py:118-127, 212-234).
-    Returns (B, n_future, input)."""
+    Returns (B, n_future, input).
+
+    ``feat_mask`` (input,) 0/1 supports ragged input sizes under stacked
+    multi-shard training: masked (padded) feature dims are zeroed before
+    each recursive feed-back, so they can never leak into the decoder
+    state and the padded model is exactly the unpadded one."""
     hn, cn = encoder_forward(params, x)
     x_last = x[:, -1, :]
 
     def step(carry, _):
         xi, h, c = carry
         y, h, c = decoder_step(params, xi, h, c)
+        if feat_mask is not None:
+            y = y * feat_mask
         return (y, h, c), y
 
     _, ys = jax.lax.scan(step, (x_last, hn, cn), None, length=n_future)

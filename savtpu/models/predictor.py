@@ -53,3 +53,38 @@ def phase_interleaved_predict(
     D = history.shape[-1]
     block = jnp.zeros((n_s * n_future, D), dtype=Y.dtype)
     return block.at[out_idx.reshape(-1)].set(Y.reshape(-1, D))
+
+
+def phase_interleaved_predict_stacked(
+    stacked_params,
+    histories,          # (P, n_p*n_s, Dmax) padded trailing windows
+    smax,               # (P,)
+    smin,               # (P,)
+    n_past: int,
+    n_future: int,
+    filter_size: int,
+    feat_mask=None,     # (P, Dmax)
+):
+    """All shards' block predictions in one vmapped call — pairs with
+    models trained by fit_stacked (common padded input size)."""
+
+    def one(params, hist, mx, mn, fm):
+        n_s = filter_size
+        offs = jnp.arange(n_s)
+        hist_idx = offs[:, None] + jnp.arange(n_past)[None, :] * n_s
+        X = scale_forward(hist[hist_idx], mx, mn)
+        Y = seq2seq_predict(params, X, n_future, feat_mask=fm)
+        Y = scale_back(Y, mx, mn)
+        if fm is not None:
+            Y = Y * fm  # padded dims: scale_back(0) is nonzero; re-zero
+        out_idx = offs[:, None] + jnp.arange(n_future)[None, :] * n_s
+        block = jnp.zeros((n_s * n_future, hist.shape[-1]), dtype=Y.dtype)
+        return block.at[out_idx.reshape(-1)].set(
+            Y.reshape(-1, hist.shape[-1])
+        )
+
+    if feat_mask is None:
+        return jax.vmap(lambda p, h, mx, mn: one(p, h, mx, mn, None))(
+            stacked_params, histories, smax, smin
+        )
+    return jax.vmap(one)(stacked_params, histories, smax, smin, feat_mask)

@@ -207,3 +207,140 @@ def fit(
 
     state.params, state.opt_state = params, opt_state
     return params, hist
+
+
+# ----------------------------------------------------------------------
+# stacked multi-shard training: one model per shard, all trained in one
+# vmapped computation (and shardable over a device mesh — the per-shard
+# models are embarrassingly parallel, SURVEY.md §2.8 "task parallelism")
+# ----------------------------------------------------------------------
+
+def masked_mse(out, truth, feat_mask):
+    """MSE over the real (unmasked) feature dims only — equals the
+    unpadded per-shard MSE exactly."""
+    diff = (out - truth) * feat_mask
+    denom = out.shape[0] * out.shape[1] * jnp.sum(feat_mask)
+    return jnp.sum(diff * diff) / denom
+
+
+def fit_stacked(
+    cfg: SurrogateConfig,
+    X,            # (P, G, n_past, Dmax) padded with zeros
+    Y,            # (P, G, n_future, Dmax)
+    feat_mask,    # (P, Dmax) 1 on real feature dims
+    mesh=None,    # optional jax Mesh: shard the model axis over devices
+    log_every: int = 50,
+    log_fn=print,
+):
+    """Train P independent surrogates simultaneously. Returns
+    (stacked_params, hist) where hist arrays have shape (epochs, P)."""
+    dtype = jnp.dtype(cfg.dtype)
+    X = jnp.asarray(X, dtype=dtype)
+    Y = jnp.asarray(Y, dtype=dtype)
+    feat_mask = jnp.asarray(feat_mask, dtype=dtype)
+    Pn, G, _, Dmax = X.shape
+    bs = min(cfg.batch_size, G)
+    n_train = int(cfg.train_portion * G)
+    n_train -= n_train % bs or 0
+    steps_per_epoch = max(n_train // bs, 1)
+
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), Pn)
+    params = jax.vmap(
+        lambda k: init_seq2seq(
+            k, Dmax, cfg.hidden_size, cfg.num_layers_encoder,
+            cfg.bidirectional, dtype=dtype,
+        )
+    )(keys)
+    schedule = lambda step: cfg.learning_rate * (
+        cfg.decay ** (step // steps_per_epoch)
+    )
+    tx = optax.adam(schedule)
+    opt_state = jax.vmap(tx.init)(params)
+
+    # fixed per-shard train/val split (random unordered, like the
+    # reference); per-epoch batch shuffling happens on-device
+    rng = np.random.default_rng(cfg.seed + 1)
+    train_idx = np.stack(
+        [rng.choice(G, size=n_train, replace=False) for _ in range(Pn)]
+    )
+    val_idx = np.stack(
+        [np.setdiff1d(np.arange(G), t) for t in train_idx]
+    )
+    Xtr = jnp.take_along_axis(X, jnp.asarray(train_idx)[:, :, None, None], 1)
+    Ytr = jnp.take_along_axis(Y, jnp.asarray(train_idx)[:, :, None, None], 1)
+    Xva = jnp.take_along_axis(X, jnp.asarray(val_idx)[:, :, None, None], 1)
+    Yva = jnp.take_along_axis(Y, jnp.asarray(val_idx)[:, :, None, None], 1)
+
+    n_future = cfg.n_future
+
+    def one_shard_epoch(params, opt_state, Xs, Ys, fm, perm):
+        """One shard, one epoch: scan over shuffled full batches."""
+        Xp = Xs[perm][: steps_per_epoch * bs].reshape(
+            steps_per_epoch, bs, *Xs.shape[1:]
+        )
+        Yp = Ys[perm][: steps_per_epoch * bs].reshape(
+            steps_per_epoch, bs, *Ys.shape[1:]
+        )
+
+        def train_batch(carry, batch):
+            params, opt_state = carry
+            Xb, Yb = batch
+
+            def loss_fn(p):
+                out = seq2seq_predict(p, Xb, n_future, feat_mask=fm)
+                return masked_mse(out, Yb, fm)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            train_batch, (params, opt_state), (Xp, Yp)
+        )
+        return params, opt_state, losses.mean()
+
+    def one_shard_eval(params, Xs, Ys, fm):
+        out = seq2seq_predict(params, Xs, n_future, feat_mask=fm)
+        return masked_mse(out, Ys, fm)
+
+    def epoch_all(params, opt_state, perms):
+        return jax.vmap(one_shard_epoch)(
+            params, opt_state, Xtr, Ytr, feat_mask, perms
+        )
+
+    def eval_all(params):
+        return jax.vmap(one_shard_eval)(params, Xva, Yva, feat_mask)
+
+    if mesh is not None:
+        # pjit-style model parallelism: every stacked tensor is sharded on
+        # its leading per-shard axis; the vmapped epoch is embarrassingly
+        # parallel along it, so XLA partitions it with zero collectives.
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        shard = NamedSharding(mesh, PS(mesh.axis_names[0]))
+        put = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a, shard), t
+        )
+        Xtr, Ytr, Xva, Yva = put(Xtr), put(Ytr), put(Xva), put(Yva)
+        feat_mask = put(feat_mask)
+        params, opt_state = put(params), put(opt_state)
+    epoch_all = jax.jit(epoch_all)
+    eval_all = jax.jit(eval_all)
+
+    hist = {"train_loss": [], "val_loss": []}
+    np_rng = np.random.default_rng(cfg.seed + 2)
+    for epoch in range(cfg.epochs):
+        perms = jnp.asarray(
+            np.stack([np_rng.permutation(n_train) for _ in range(Pn)])
+        )
+        params, opt_state, tl = epoch_all(params, opt_state, perms)
+        vl = eval_all(params)
+        hist["train_loss"].append(np.asarray(tl))
+        hist["val_loss"].append(np.asarray(vl))
+        if log_every and epoch % log_every == 0:
+            log_fn(
+                f"epoch {epoch}: train {np.asarray(tl)} | val {np.asarray(vl)}"
+            )
+    hist = {k: np.stack(v) for k, v in hist.items()}
+    return params, hist

@@ -325,6 +325,10 @@ class ShardedSolver:
     def __init__(self, sp: ShardedProblem, mesh: Optional[Mesh] = None):
         self.sp = sp
         self.mesh = mesh
+        # jitted-run cache: one compiled program per (steps, mode) variant,
+        # so e.g. the online driver's ~33 identical block calls reuse one
+        # executable instead of re-tracing each time
+        self._cache = {}
         if mesh is not None:
             n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
             if n_dev != sp.n_parts:
@@ -358,9 +362,15 @@ class ShardedSolver:
 
     def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
             record="all"):
-        sp = self.sp
         data = self._data()
+        key = (num_steps, sync, record, preds is None)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._build(num_steps, sync, record, preds is None)
+            self._cache[key] = fn
+        return fn(data, d0, dn, jnp.asarray(t0), preds)
 
+    def _build(self, num_steps, sync, record, no_preds):
         if self.mesh is None:
 
             def stacked(data, d0, dn, t0, preds):
@@ -370,11 +380,11 @@ class ShardedSolver:
                     sync=sync, preds=preds, record=record,
                 )
 
-            return jax.jit(stacked)(data, d0, dn, jnp.asarray(t0), preds)
+            return jax.jit(stacked)
 
         mesh = self.mesh
         spec = P(AXIS)
-        pred_spec = P(AXIS) if preds is not None else None
+        pred_spec = None if no_preds else P(AXIS)
 
         def local_run(data, d0, dn, t0, preds):
             lsp = self._local_view(data)
