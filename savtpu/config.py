@@ -87,6 +87,8 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    stacked: bool = False  # train all shards' models in one vmapped pass
+                           # (features padded to the max shard width)
 
     @property
     def epochs(self) -> int:

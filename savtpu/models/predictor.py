@@ -35,6 +35,7 @@ def phase_interleaved_predict(
     n_past: int,
     n_future: int,
     filter_size: int,
+    feat_mask=None,     # (D,) for padded-input (stacked-trained) models
 ):
     """Predict the next (n_f * n_s, D) block from the trailing history.
 
@@ -46,8 +47,10 @@ def phase_interleaved_predict(
     hist_idx = offs[:, None] + jnp.arange(n_past)[None, :] * n_s
     X = history[hist_idx]                       # (n_s, n_p, D)
     X = scale_forward(X, smax, smin)
-    Y = seq2seq_predict(params, X, n_future)    # (n_s, n_f, D)
+    Y = seq2seq_predict(params, X, n_future, feat_mask=feat_mask)
     Y = scale_back(Y, smax, smin)
+    if feat_mask is not None:
+        Y = Y * feat_mask  # padded dims: scale_back(0) != 0; re-zero
 
     out_idx = offs[:, None] + jnp.arange(n_future)[None, :] * n_s
     D = history.shape[-1]

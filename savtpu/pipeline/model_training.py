@@ -24,6 +24,8 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     sur = cfg.surrogate
     n_parts = n_parts or cfg.partition.n_parts
+    if sur.stacked:
+        return _run_stacked(cfg, store, n_parts, verbose)
     results = {}
     for r in range(n_parts):
         trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
@@ -81,3 +83,89 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
+                 verbose: bool):
+    """All shards' surrogates in one vmapped training pass: raw windows
+    padded to the max shard width, per-shard [-1,0] scaling applied after
+    padding, masked recursive decode. Per-rank artifacts stay identical in
+    layout; the sidecar records the padding so the online stage feeds the
+    model consistently."""
+    import jax
+
+    from ..models.training import fit_stacked
+
+    sur = cfg.surrogate
+    traces, dims = [], []
+    for r in range(n_parts):
+        tr = load_displacement(store.shared_dof_h5(r)).T  # (T, Dr)
+        traces.append(tr)
+        dims.append(tr.shape[1])
+    Dmax = max(dims)
+
+    Xs, Ys, smaxs, smins = [], [], [], []
+    for tr in traces:
+        X, Y = strided_windows(
+            tr, sur.n_past, sur.n_future, sur.filter_size, sur.cut_off
+        )
+        smax = max(float(X.max()), float(Y.max()))
+        smin = min(float(X.min()), float(Y.min()))
+        Xs.append(X)
+        Ys.append(Y)
+        smaxs.append(smax)
+        smins.append(smin)
+
+    G = min(x.shape[0] for x in Xs)
+    Xp = np.zeros((n_parts, G, sur.n_past, Dmax))
+    Yp = np.zeros((n_parts, G, sur.n_future, Dmax))
+    fm = np.zeros((n_parts, Dmax))
+    for r in range(n_parts):
+        # pad raw windows, then scale the whole padded array per shard —
+        # the same convention the online predictor applies
+        Xp[r, :, :, : dims[r]] = Xs[r][:G]
+        Yp[r, :, :, : dims[r]] = Ys[r][:G]
+        Xp[r] = (Xp[r] - smaxs[r]) / (smaxs[r] - smins[r])
+        Yp[r] = (Yp[r] - smaxs[r]) / (smaxs[r] - smins[r])
+        fm[r, : dims[r]] = 1.0
+
+    if verbose:
+        print(
+            f"[model_training] stacked: {n_parts} shards, Dmax={Dmax}, "
+            f"{G} windows each, {sur.epochs} epochs"
+        )
+    log = (lambda s: print(f"[stacked] {s}")) if verbose else (lambda s: None)
+    params, hist = fit_stacked(
+        sur, Xp, Yp, fm, log_every=50 if verbose else 0, log_fn=log
+    )
+
+    results = {}
+    for r in range(n_parts):
+        params_r = jax.tree.map(lambda a: np.asarray(a[r]), params)
+        hist_r = {
+            "train_loss": hist["train_loss"][:, r].tolist(),
+            "val_loss": hist["val_loss"][:, r].tolist(),
+        }
+        store.save_training_curves(r, hist_r)
+        save_params(
+            store.model_file(r),
+            params_r,
+            meta={
+                "input_size": int(Dmax),
+                "real_input_size": int(dims[r]),
+                "padded_input": True,
+                "hidden_size": sur.hidden_size,
+                "num_layers_encoder": sur.num_layers_encoder,
+                "bidirectional": sur.bidirectional,
+                "n_past": sur.n_past,
+                "n_future": sur.n_future,
+                "filter_size": sur.filter_size,
+                "cut_off": sur.cut_off,
+                "scale_max": smaxs[r],
+                "scale_min": smins[r],
+                "final_train_loss": hist_r["train_loss"][-1],
+                "final_val_r2": None,
+            },
+        )
+        results[r] = (params_r, hist_r)
+    return results

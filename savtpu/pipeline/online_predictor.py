@@ -72,7 +72,15 @@ def load_rank_models(ctx: StageContext):
                 f"({meta['scale_max']}, {meta['scale_min']}) and online "
                 f"({smax}, {smin})"
             )
-        models.append((params, float(smax), float(smin)))
+        models.append(
+            (
+                params,
+                float(smax),
+                float(smin),
+                int(meta["input_size"]),
+                bool(meta.get("padded_input", False)),
+            )
+        )
     return models
 
 
@@ -119,16 +127,27 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             Dr = 3 * len(maps.shared_nodes[r])
             if Dr == 0:
                 continue
-            params, smax, smin = models[r]
+            params, smax, smin, D_in, padded = models[r]
+            fmask = None
+            if padded:
+                # stacked-trained model: feed the padded trailing window
+                # (zeros on pad dims before scaling — the training
+                # convention) with the feature mask on the decode
+                Dr_feed = D_in
+                fmask = jnp.zeros((D_in,), dtype=jnp.dtype(sur.dtype))
+                fmask = fmask.at[:Dr].set(1.0)
+            else:
+                Dr_feed = Dr
             hist = jnp.asarray(
-                shared_hist[r, i - sur.n_past * sur.filter_size : i, :Dr],
+                shared_hist[r, i - sur.n_past * sur.filter_size : i, :Dr_feed],
                 dtype=jnp.dtype(sur.dtype),
             )
             blockpred = phase_interleaved_predict(
                 params, hist, smax, smin,
                 sur.n_past, sur.n_future, sur.filter_size,
+                feat_mask=fmask,
             )
-            preds[r, :, :Dr] = np.asarray(blockpred)[:n]
+            preds[r, :, :Dr] = np.asarray(blockpred)[:n, :Dr]
         d0c, dnc, tc = carry
         (traj_b, shared_b), carry = solver.run(
             d0c, dnc, tc, n,

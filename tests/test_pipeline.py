@@ -72,3 +72,25 @@ def test_pipeline_partial_last_block(tmp_path):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     pred = load_displacement(store.modeled_h5(0))
     assert pred.shape[1] == 90
+
+
+def test_pipeline_stacked_training_4_parts(tmp_path):
+    """4 spatial shards with stacked (single vmapped pass) surrogate
+    training + padded-model online prediction."""
+    cfg = _smoke_cfg(tmp_path)
+    cfg.partition.n_parts = 4
+    cfg.beam_cells = (8, 1, 1)
+    cfg.beam_extent = (8.0, 1.0, 1.0)
+    cfg.surrogate.stacked = True
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_sync = cfg.surrogate.i_cri + 1
+    for r in range(4):
+        data = load_displacement(store.dynamics_h5(r))
+        pred = load_displacement(store.modeled_h5(r))
+        assert pred.shape == data.shape
+        assert np.isfinite(pred).all()
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        import json
+        meta = json.loads(store.model_file(r).with_suffix(".json").read_text())
+        assert meta["padded_input"] is True
