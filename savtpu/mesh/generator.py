@@ -96,3 +96,42 @@ def _boundary_triangles(tets: np.ndarray) -> np.ndarray:
         key, axis=0, return_index=True, return_counts=True
     )
     return faces[idx[counts == 1]].astype(np.int32)
+
+
+def to_p2(mesh: Mesh) -> Mesh:
+    """Promote a P1 tet mesh to P2 (10-node tets) by inserting edge
+    midpoints. Node ordering per element: 4 vertices then midpoints of
+    edges (0,1), (1,2), (0,2), (0,3), (1,3), (2,3) — the basis-function
+    ordering of savtpu.ops.shape.shape_function(deg=2) (and gmsh tet10).
+
+    Enables the reference's steady-only P2 path (Data_prepare.py:42
+    comment: 'p=2 only works for steady case') on any generated mesh.
+    """
+    tets = mesh.tetra
+    points = mesh.points
+    edges_per_tet = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3)]
+
+    edge_ids: dict = {}
+    mid_points = []
+    n0 = len(points)
+
+    def mid(a, b):
+        key = (min(a, b), max(a, b))
+        idx = edge_ids.get(key)
+        if idx is None:
+            idx = n0 + len(mid_points)
+            edge_ids[key] = idx
+            mid_points.append(0.5 * (points[a] + points[b]))
+        return idx
+
+    tet10 = np.empty((len(tets), 10), dtype=np.int32)
+    for e, tet in enumerate(tets):
+        tet10[e, :4] = tet
+        for k, (a, b) in enumerate(edges_per_tet):
+            tet10[e, 4 + k] = mid(int(tet[a]), int(tet[b]))
+
+    new_points = np.vstack([points, np.array(mid_points)])
+    cells = {"tetra10": tet10}
+    if mesh.triangles is not None:
+        cells["triangle"] = mesh.triangles  # corner facets (BC detection)
+    return Mesh(points=new_points, cells=cells)

@@ -55,6 +55,48 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return jax.make_mesh((len(devs),), (AXIS,), devices=devs)
 
 
+def _build_ell(npn, L_max, edofs, Ke, dtype):
+    """Node-block ELLPACK from per-part element stiffness: for each local
+    node row, a fixed-width list of (column node, 3x3 block). Duplicate
+    element contributions are pre-summed on host (vectorized lexsort +
+    reduceat), so the runtime SpMV is gather + multiply-reduce only."""
+    per_part = []
+    C_max = 1
+    for p in range(npn):
+        nodes = edofs[p][:, ::3] // 3               # (E, nb) local node ids
+        E, nb = nodes.shape
+        blocks = (
+            Ke[p]
+            .reshape(E, nb, 3, nb, 3)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(-1, 3, 3)
+        )
+        rows = np.repeat(nodes, nb, axis=1).reshape(-1)
+        cols = np.tile(nodes, (1, nb)).reshape(-1)
+        keep = rows < L_max                          # drop padded elements
+        rows, cols, blocks = rows[keep], cols[keep], blocks[keep]
+        key = rows.astype(np.int64) * (L_max + 1) + cols
+        order = np.argsort(key, kind="stable")
+        key, blocks = key[order], blocks[order]
+        ukey, start = np.unique(key, return_index=True)
+        summed = np.add.reduceat(blocks, start, axis=0)
+        urow = (ukey // (L_max + 1)).astype(np.int64)
+        ucol = (ukey % (L_max + 1)).astype(np.int64)
+        counts = np.bincount(urow, minlength=L_max)
+        C_max = max(C_max, int(counts.max(initial=1)))
+        per_part.append((urow, ucol, summed, counts))
+
+    ell_blocks = np.zeros((npn, L_max, C_max, 3, 3), dtype=np.float64)
+    ell_cols = np.full((npn, L_max, C_max), L_max, dtype=np.int32)
+    for p, (urow, ucol, summed, counts) in enumerate(per_part):
+        offs = np.zeros(L_max + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(counts)
+        slot = np.arange(len(urow)) - offs[urow]
+        ell_blocks[p, urow, slot] = summed
+        ell_cols[p, urow, slot] = ucol
+    return jnp.asarray(ell_blocks, dtype=dtype), jnp.asarray(ell_cols)
+
+
 @dataclass
 class ShardedProblem:
     """Padded, stacked (leading part axis) device tensors of a partitioned
@@ -80,6 +122,10 @@ class ShardedProblem:
     smask: jnp.ndarray           # (P, 3*S_max) 1 on real shared slots
     fint_mode: str = "dense"
     maps: Optional[PartitionMaps] = None
+    # ELL node-block SpMV arrays (fint_mode == 'ell'):
+    ell_blocks: Optional[jnp.ndarray] = None  # (P, L_max, C_max, 3, 3)
+    ell_cols: Optional[jnp.ndarray] = None    # (P, L_max, C_max) node col
+                                              # ids, pad -> L_max (zero row)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -153,8 +199,13 @@ class ShardedProblem:
             smask[p, : len(sdofs)] = 1.0
 
         if fint_mode == "auto":
-            fint_mode = "dense" if DL <= 3072 else "ebe"
+            fint_mode = "dense" if DL <= 1536 else "ell"
         denseK = None
+        ell_blocks = ell_cols = None
+        if fint_mode == "ell":
+            ell_blocks, ell_cols = _build_ell(
+                npn, L_max, edofs, Ke, dtype
+            )
         if fint_mode == "dense":
             dk = np.zeros((npn, DL, DL), dtype=np.float64)
             for p in range(npn):
@@ -168,6 +219,8 @@ class ShardedProblem:
             denseK = jnp.asarray(dk, dtype=dtype)
 
         return cls(
+            ell_blocks=ell_blocks,
+            ell_cols=ell_cols,
             n_parts=npn,
             DL=DL,
             SD=SD,
@@ -219,6 +272,27 @@ class ShardedProblem:
             # NB: vmapped jnp.dot — jnp.einsum('pij,pj->pi') lowers to a
             # catastrophically slow kernel on TPU (measured 30x slower)
             return jax.vmap(jnp.dot)(self.denseK, d)
+
+        if self.fint_mode == "ell":
+            # node-block ELLPACK SpMV: fixed-width gather + dense 3x3
+            # block matvecs, no scatter at all — the scalable TPU path
+            # (segment_sum scatter-add measured ~80x slower at 23k DOFs)
+            L = (self.DL - 1) // 3
+
+            def one(blocks, cols, dp):
+                dn = dp[: 3 * L].reshape(L, 3)
+                dn = jnp.concatenate(
+                    [dn, jnp.zeros((1, 3), dtype=dp.dtype)]
+                )  # dummy node row for padded columns
+                dg = dn[cols]  # (L, C, 3)
+                fi = jnp.sum(
+                    blocks * dg[:, :, None, :], axis=(1, 3)
+                )  # (L, 3)
+                return jnp.concatenate(
+                    [fi.reshape(-1), jnp.zeros((1,), dtype=dp.dtype)]
+                )
+
+            return jax.vmap(one)(self.ell_blocks, self.ell_cols, d)
 
         def one(Ke, ed, dp):
             de = dp[ed]  # (E_max, 12)
@@ -347,8 +421,9 @@ class ShardedSolver:
         the multi-MB tensors never become baked-in HLO constants."""
         sp = self.sp
         data = {k: getattr(sp, k) for k in self._DATA_FIELDS}
-        if sp.denseK is not None:
-            data["denseK"] = sp.denseK
+        for opt in ("denseK", "ell_blocks", "ell_cols"):
+            if getattr(sp, opt) is not None:
+                data[opt] = getattr(sp, opt)
         return data
 
     def _local_view(self, data):
@@ -357,6 +432,8 @@ class ShardedSolver:
         return _dc.replace(
             self.sp,
             denseK=data.get("denseK"),
+            ell_blocks=data.get("ell_blocks"),
+            ell_cols=data.get("ell_cols"),
             **{k: data[k] for k in self._DATA_FIELDS},
         )
 
@@ -396,7 +473,7 @@ class ShardedSolver:
                 sync=sync, reduce_fn=reduce_fn, preds=preds, record=record,
             )
 
-        data_specs = {k: spec for k in data}
+        data_specs = {k: spec for k in self._data()}
         out_record = (
             spec if record == "all" else None,
             spec if record in ("all", "shared") else None,
@@ -408,4 +485,4 @@ class ShardedSolver:
             out_specs=(out_record, (spec, spec, P())),
             check_vma=False,
         )
-        return jax.jit(fn)(data, d0, dn, jnp.asarray(t0), preds)
+        return jax.jit(fn)

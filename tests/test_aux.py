@@ -157,3 +157,45 @@ def test_vtk_round_trip(tmp_path):
     assert np.allclose(back.points, mesh.points)
     assert np.array_equal(back.tetra, mesh.tetra)
     assert np.array_equal(back.triangles, mesh.triangles)
+
+
+def test_p2_steady_solve_beats_p1_on_coarse_mesh():
+    """Steady P2 path (reference: 'p=2 only works for steady case',
+    Data_prepare.py:42): on the same coarse beam, the quadratic solution
+    must be more flexible (less locking) than P1 and bracketed by a
+    refined-P1 reference."""
+    import jax.numpy as jnp
+    from savtpu.mesh.generator import to_p2
+    from savtpu.mesh.geometry import node_to_dof
+    from savtpu.ops.element import batch_element_mkf, gather_coords
+    from savtpu.ops.assembly import element_dofs
+    from savtpu.solvers import steady_solve
+
+    mat = LinearElastic.from_engineering(
+        E=1e6, nu=0.3, rho=1.0, fz=0.5, ramped=False
+    )
+
+    def tip_deflection(mesh, deg, cells_key):
+        cells = mesh.cells[cells_key]
+        coords = gather_coords(cells, mesh.points)
+        edofs = element_dofs(cells)
+        _, Ke, Fe = batch_element_mkf(deg, 2, mat, 0.0, coords)
+        clamped = np.flatnonzero(np.abs(mesh.points[:, 0]) < 1e-9)
+        ddofs = node_to_dof(clamped)
+        d = np.asarray(
+            steady_solve(Ke, Fe, edofs, 3 * len(mesh.points), ddofs)
+        )
+        tip = int(np.argmax(mesh.points[:, 0]))
+        return d[3 * tip + 1]
+
+    m1 = beam_mesh(5, 1, 1, extent=(5.0, 1.0, 1.0))
+    dy_p1 = tip_deflection(m1, 1, "tetra")
+    dy_p2 = tip_deflection(to_p2(m1), 2, "tetra10")
+
+    # Euler-Bernoulli tip deflection q L^4 / (8 E I), q = fz * A
+    eb = 0.5 * 5.0**4 / (8 * 1e6 / 12.0)
+    # coarse P1 locks badly (~20% of EB); P2 on the same mesh must land
+    # within 15% of the analytic value and be much softer than P1
+    assert dy_p1 < 0 and dy_p2 < 0
+    assert abs(dy_p2) > 3 * abs(dy_p1)
+    assert abs(abs(dy_p2) - eb) < 0.15 * eb
