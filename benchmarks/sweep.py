@@ -1,0 +1,135 @@
+"""Scale-out benchmark sweep (SURVEY.md §7 phase 6).
+
+Measures explicit timesteps/sec and element-updates/sec across mesh
+refinements x shard counts x F_int strategies, in both exchanged and
+sync-avoiding modes, on the available accelerator. Writes
+benchmarks/results.json and prints a markdown table.
+
+Usage: python benchmarks/sweep.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from savtpu.config import Config
+from savtpu.mesh import dirichlet_nodes
+from savtpu.parallel import (
+    ShardedProblem,
+    build_partition_maps,
+    partition_elements,
+)
+from savtpu.parallel.sharded import ShardedSolver
+from savtpu.solvers import setup_problem
+
+
+def bench_case(nx, ny, nz, n_parts, mode, steps):
+    cfg = Config()
+    cfg.beam_cells = (nx, ny, nz)
+    cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
+    prob = setup_problem(cfg, dtype=jnp.float32)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, n_parts, "rcb"
+    )
+    dn = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode=mode, dtype=jnp.float32)
+    sol = ShardedSolver(sp)
+    d0 = sp.localize(np.zeros(prob.ndof, np.float32))
+
+    out = {
+        "mesh": f"{nx}x{ny}x{nz}",
+        "elements": len(prob.mesh.tetra),
+        "ndof": prob.ndof,
+        "n_parts": n_parts,
+        "DL": sp.DL,
+        "fint_mode": sp.fint_mode,
+    }
+    for sync, name in ((False, "sync_avoiding"), (True, "exchanged")):
+        (_, _), c = sol.run(d0, d0, 0.0, steps, sync=sync, record="none")
+        jax.block_until_ready(c)
+        t0 = time.perf_counter()
+        (_, _), c = sol.run(d0, d0, 0.0, steps, sync=sync, record="none")
+        jax.block_until_ready(c)
+        el = time.perf_counter() - t0
+        out[f"{name}_steps_per_sec"] = steps / el
+        out[f"{name}_elem_updates_per_sec"] = steps / el * out["elements"]
+    out["sync_avoid_speedup"] = (
+        out["sync_avoiding_steps_per_sec"] / out["exchanged_steps_per_sec"]
+    )
+    return out
+
+
+CASES = [
+    # (nx, ny, nz, parts, mode, steps)
+    (25, 1, 1, 2, "dense", 20000),     # the reference benchmark problem
+    (48, 4, 4, 8, "dense", 5000),
+    (48, 4, 4, 8, "ell", 5000),
+    (96, 8, 8, 8, "dense", 2000),
+    (96, 8, 8, 8, "ell", 2000),
+    (96, 8, 8, 64, "dense", 2000),
+    (96, 8, 8, 64, "ell", 2000),
+    (192, 12, 12, 64, "ell", 1000),
+]
+
+QUICK = [(25, 1, 1, 2, "dense", 5000), (48, 4, 4, 8, "ell", 2000)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    cases = QUICK if args.quick else CASES
+
+    results = []
+    for case in cases:
+        try:
+            r = bench_case(*case)
+        except Exception as e:  # keep sweeping on per-case failure
+            r = {"mesh": f"{case[0]}x{case[1]}x{case[2]}",
+                 "n_parts": case[3], "fint_mode": case[4],
+                 "error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    out = {
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+    Path(__file__).parent.joinpath("results.json").write_text(
+        json.dumps(out, indent=2)
+    )
+
+    print("\n| mesh | E | parts | mode | avoid steps/s | Melem/s | vs exchanged |")
+    print("|---|---|---|---|---|---|---|")
+    for r in results:
+        if "error" in r:
+            print(f"| {r['mesh']} | - | {r['n_parts']} | {r['fint_mode']} "
+                  f"| ERROR | - | - |")
+            continue
+        print(
+            f"| {r['mesh']} | {r['elements']} | {r['n_parts']} "
+            f"| {r['fint_mode']} | {r['sync_avoiding_steps_per_sec']:,.0f} "
+            f"| {r['sync_avoiding_elem_updates_per_sec']/1e6:,.1f} "
+            f"| {r['sync_avoid_speedup']:.2f}x |"
+        )
+
+
+if __name__ == "__main__":
+    main()
