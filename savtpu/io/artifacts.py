@@ -24,7 +24,6 @@ DNN_prediction.py:21-24 — the sidecar removes that drift hazard).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -86,13 +85,8 @@ def load_params_meta(path: str | Path) -> Dict:
     return json.loads(Path(path).with_suffix(".json").read_text())
 
 
-@dataclass
 class ArtifactStore:
     """Path book-keeping for one pipeline run."""
-
-    workdir: Path
-    model_dir: Path
-    tag: str
 
     def __init__(self, workdir, model_dir, tag: str):
         self.workdir = Path(workdir)

@@ -18,8 +18,6 @@ prediction of all 150 phase offsets is one batched compiled call.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
@@ -64,12 +62,10 @@ def _run_direction(p, xs, reverse: bool):
         h, c = lstm_cell(p, x, h, c)
         return (h, c), h
 
+    # scan(reverse=True) emits outputs aligned with forward time: the
+    # backward direction's output at t is the state after consuming
+    # x[T-1..t], and the final carry is the t=0 state — PyTorch semantics.
     (h, c), outs = jax.lax.scan(step, (h0, h0), xs, reverse=reverse)
-    if reverse:
-        # scan(reverse=True) emits outputs aligned with time going forward;
-        # the backward direction's output at time t is the state after
-        # consuming x[T-1..t] — which is exactly what it produces.
-        pass
     return outs, (h, c)
 
 

@@ -13,7 +13,6 @@ has a NumPy fallback so the framework works without a toolchain.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional

@@ -12,13 +12,12 @@ The reference assembles dense global matrices with nested Python loops
   (lumping_to_vec, Tools/commons.py:103-107) via one segment_sum.
 - ``FIntOperator``: the hot operator F_int(d) = K_nobc @ d with three
   interchangeable execution strategies (dense MXU matmul / element-by-element
-  gather->batched matmul->segment_sum / BCOO sparse; a Pallas EBE kernel
-  plugs in via savtpu.ops.pallas_fint).
+  gather->batched matmul->segment_sum / BCOO sparse). The fused Pallas
+  step kernel lives in savtpu.ops.pallas_step; the scalable sharded
+  strategies (dense local-K / node-block ELL) in savtpu.parallel.sharded.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ targets point at a dummy DOF slot (index DL-1) that is zeroed every step.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -43,7 +42,7 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 AXIS = "shards"
 

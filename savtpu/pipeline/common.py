@@ -8,8 +8,6 @@ here it is built once and shared by the stage drivers.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

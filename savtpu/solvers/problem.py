@@ -23,7 +23,7 @@ from ..ops.assembly import (
     dirichlet_mask,
     element_dofs,
 )
-from ..ops.element import batch_element_k, batch_element_mkf, gather_coords
+from ..ops.element import batch_element_mkf, gather_coords
 from ..ops.material import LinearElastic
 
 
