@@ -58,6 +58,7 @@ def phase_interleaved_predict(
     return block.at[out_idx.reshape(-1)].set(Y.reshape(-1, D))
 
 
+@partial(jax.jit, static_argnames=("n_past", "n_future", "filter_size"))
 def phase_interleaved_predict_stacked(
     stacked_params,
     histories,          # (P, n_p*n_s, Dmax) padded trailing windows

@@ -222,6 +222,17 @@ def masked_mse(out, truth, feat_mask):
     return jnp.sum(diff * diff) / denom
 
 
+def masked_metrics(out, truth, feat_mask):
+    """(loss, r2, rel) on the real feature dims (batch_metrics semantics,
+    DNN_tools.py:146-157, under padding)."""
+    loss = masked_mse(out, truth, feat_mask)
+    denom = out.shape[0] * out.shape[1] * jnp.sum(feat_mask)
+    tmean = jnp.sum(truth * feat_mask) / denom
+    var = jnp.sum(((truth - tmean) * feat_mask) ** 2) / denom
+    ms = jnp.sum((truth * feat_mask) ** 2) / denom
+    return loss, 1.0 - loss / var, 1.0 - loss / ms
+
+
 def fit_stacked(
     cfg: SurrogateConfig,
     X,            # (P, G, n_past, Dmax) padded with zeros
@@ -287,21 +298,24 @@ def fit_stacked(
 
             def loss_fn(p):
                 out = seq2seq_predict(p, Xb, n_future, feat_mask=fm)
-                return masked_mse(out, Yb, fm)
+                return masked_mse(out, Yb, fm), out
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            _, r2, rel = masked_metrics(out, Yb, fm)
+            return (params, opt_state), jnp.stack([loss, r2, rel])
 
-        (params, opt_state), losses = jax.lax.scan(
+        (params, opt_state), stats = jax.lax.scan(
             train_batch, (params, opt_state), (Xp, Yp)
         )
-        return params, opt_state, losses.mean()
+        return params, opt_state, stats.mean(axis=0)
 
     def one_shard_eval(params, Xs, Ys, fm):
         out = seq2seq_predict(params, Xs, n_future, feat_mask=fm)
-        return masked_mse(out, Ys, fm)
+        return jnp.stack(masked_metrics(out, Ys, fm))
 
     def epoch_all(params, opt_state, perms):
         return jax.vmap(one_shard_epoch)(
@@ -327,7 +341,10 @@ def fit_stacked(
     epoch_all = jax.jit(epoch_all)
     eval_all = jax.jit(eval_all)
 
-    hist = {"train_loss": [], "val_loss": []}
+    hist = {k: [] for k in (
+        "train_loss", "train_r2", "train_rel",
+        "val_loss", "val_r2", "val_rel",
+    )}
     np_rng = np.random.default_rng(cfg.seed + 2)
     for epoch in range(cfg.epochs):
         perms = jnp.asarray(
@@ -335,11 +352,13 @@ def fit_stacked(
         )
         params, opt_state, tl = epoch_all(params, opt_state, perms)
         vl = eval_all(params)
-        hist["train_loss"].append(np.asarray(tl))
-        hist["val_loss"].append(np.asarray(vl))
+        tl, vl = np.asarray(tl), np.asarray(vl)  # (P, 3)
+        for j, k in enumerate(("loss", "r2", "rel")):
+            hist[f"train_{k}"].append(tl[:, j])
+            hist[f"val_{k}"].append(vl[:, j])
         if log_every and epoch % log_every == 0:
             log_fn(
-                f"epoch {epoch}: train {np.asarray(tl)} | val {np.asarray(vl)}"
+                f"epoch {epoch}: train mse {tl[:, 0]} | val mse {vl[:, 0]}"
             )
     hist = {k: np.stack(v) for k, v in hist.items()}
     return params, hist

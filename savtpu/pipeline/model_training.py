@@ -143,8 +143,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
     for r in range(n_parts):
         params_r = jax.tree.map(lambda a: np.asarray(a[r]), params)
         hist_r = {
-            "train_loss": hist["train_loss"][:, r].tolist(),
-            "val_loss": hist["val_loss"][:, r].tolist(),
+            k: hist[k][:, r].tolist() for k in hist
         }
         store.save_training_curves(r, hist_r)
         save_params(

@@ -107,6 +107,22 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             f"steps in blocks of {block} ({P} parts)"
         )
 
+    # stacked fast path: all models padded to the same width -> one
+    # vmapped predictor call per block, shared history device-resident
+    stacked_ok = all(m[4] and m[3] == S3 for m in models) and P > 0
+    if stacked_ok:
+        import jax
+
+        stacked_params = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[m[0] for m in models]
+        )
+        smax_v = jnp.asarray([m[1] for m in models], dtype=jnp.dtype(sur.dtype))
+        smin_v = jnp.asarray([m[2] for m in models], dtype=jnp.dtype(sur.dtype))
+        fmask_v = np.zeros((P, S3), dtype=np.float32)
+        for r in range(P):
+            fmask_v[r, : 3 * len(maps.shared_nodes[r])] = 1.0
+        fmask_v = jnp.asarray(fmask_v, dtype=jnp.dtype(sur.dtype))
+
     # shared-DOF history (P, num_steps, 3*S_max) — feeds the predictor
     shared_hist = np.zeros((P, num_steps, S3))
 
@@ -122,6 +138,29 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     i = n_sync
     while i < num_steps:
         n = min(block, num_steps - i)
+        if stacked_ok:
+            from ..models.predictor import phase_interleaved_predict_stacked
+
+            W = sur.n_past * sur.filter_size
+            hist = jnp.asarray(
+                shared_hist[:, i - W : i, :], dtype=jnp.dtype(sur.dtype)
+            )
+            blockpred = phase_interleaved_predict_stacked(
+                stacked_params, hist, smax_v, smin_v,
+                sur.n_past, sur.n_future, sur.filter_size,
+                feat_mask=fmask_v,
+            )
+            preds = jnp.asarray(blockpred[:, :n, :], dtype=state_dtype)
+            d0c, dnc, tc = carry
+            (traj_b, shared_b), carry = solver.run(
+                d0c, dnc, tc, n, sync=False, preds=preds
+            )
+            shared_hist[:, i : i + n] = np.asarray(shared_b)
+            trajs.append(np.asarray(traj_b))
+            i += n
+            if verbose:
+                print(f"[online] step {i}/{num_steps}")
+            continue
         preds = np.zeros((P, n, S3))
         for r in range(P):
             Dr = 3 * len(maps.shared_nodes[r])

@@ -199,3 +199,23 @@ def test_p2_steady_solve_beats_p1_on_coarse_mesh():
     assert dy_p1 < 0 and dy_p2 < 0
     assert abs(dy_p2) > 3 * abs(dy_p1)
     assert abs(abs(dy_p2) - eb) < 0.15 * eb
+
+
+def test_config_json_round_trip(tmp_path):
+    from savtpu.config import Config
+
+    cfg = Config()
+    cfg.partition.n_parts = 4
+    cfg.surrogate.hidden_size = 32
+    cfg.surrogate.stacked = True
+    cfg.solver.num_steps = 1234
+    p = tmp_path / "cfg.json"
+    cfg.to_json(p)
+    back = Config.from_json(p)
+    assert back.partition.n_parts == 4
+    assert back.surrogate.hidden_size == 32
+    assert back.surrogate.stacked is True
+    assert back.solver.num_steps == 1234
+    assert back.surrogate.epochs == cfg.surrogate.epochs == 3450
+    assert back.surrogate.i_cri == 2999
+    assert back.surrogate.block_size == 3000
