@@ -89,11 +89,6 @@ class SurrogateConfig:
     dtype: str = "float32"
     stacked: bool = False  # train all shards' models in one vmapped pass
                            # (features padded to the max shard width)
-    resync_every: int = 0  # savtpu extension: re-run one fully synchronized
-                           # block after every N model blocks (0 = never,
-                           # the reference schedule). Bounds open-loop drift
-                           # at many shards at the cost of N/(N+1) of the
-                           # communication savings.
 
     @property
     def epochs(self) -> int:

@@ -136,24 +136,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     trajs = [np.asarray(traj0)]
 
     i = n_sync
-    model_blocks = 0
     while i < num_steps:
         n = min(block, num_steps - i)
-        if sur.resync_every and model_blocks == sur.resync_every:
-            # savtpu extension: one synchronized block to re-anchor the
-            # shared DOFs (bounds open-loop drift at high shard counts)
-            d0c, dnc, tc = carry
-            (traj_b, shared_b), carry = solver.run(
-                d0c, dnc, tc, n, sync=True, record="all"
-            )
-            shared_hist[:, i : i + n] = np.asarray(shared_b)
-            trajs.append(np.asarray(traj_b))
-            i += n
-            model_blocks = 0
-            if verbose:
-                print(f"[online] step {i}/{num_steps} (resync block)")
-            continue
-        model_blocks += 1
         if stacked_ok:
             from ..models.predictor import phase_interleaved_predict_stacked
 

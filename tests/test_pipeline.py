@@ -94,18 +94,3 @@ def test_pipeline_stacked_training_4_parts(tmp_path):
         import json
         meta = json.loads(store.model_file(r).with_suffix(".json").read_text())
         assert meta["padded_input"] is True
-
-
-def test_pipeline_resync_blocks(tmp_path):
-    """savtpu extension: periodic re-synchronized blocks between model
-    blocks; resync blocks follow the exact exchanged dynamics."""
-    cfg = _smoke_cfg(tmp_path, num_steps=120)  # 20 sync + 5 blocks of 20
-    cfg.surrogate.resync_every = 2
-    run_all.run(cfg, verbose=False)
-    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
-    pred = load_displacement(store.modeled_h5(0))
-    data = load_displacement(store.dynamics_h5(0))
-    assert pred.shape[1] == 120
-    assert np.isfinite(pred).all()
-    n_sync = cfg.surrogate.i_cri + 1
-    assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
