@@ -404,10 +404,11 @@ class ShardedSolver:
         self._cache = {}
         if mesh is not None:
             n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            if n_dev != sp.n_parts:
+            if sp.n_parts % n_dev:
                 raise ValueError(
-                    f"mesh has {n_dev} devices but problem has "
-                    f"{sp.n_parts} parts"
+                    f"mesh has {n_dev} devices; the part count "
+                    f"{sp.n_parts} must be a multiple (several parts per "
+                    f"device keep the local dense blocks small)"
                 )
 
     _DATA_FIELDS = (

@@ -94,3 +94,40 @@ def test_pipeline_stacked_training_4_parts(tmp_path):
         import json
         meta = json.loads(store.model_file(r).with_suffix(".json").read_text())
         assert meta["padded_input"] is True
+
+
+def test_stage1_under_device_mesh(tmp_path):
+    """data_prepare with a real 4-device shard_map mesh produces the same
+    artifacts as the single-device emulation."""
+    import jax
+    from savtpu.parallel import make_device_mesh
+    from savtpu.pipeline import data_prepare
+    from savtpu.pipeline.common import build_context
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+
+    cfg = _smoke_cfg(tmp_path / "emu", num_steps=60)
+    cfg.partition.n_parts = 4
+    cfg.beam_cells = (8, 1, 1)
+    cfg.beam_extent = (8.0, 1.0, 1.0)
+    ctx = build_context(cfg)
+    data_prepare.run(cfg, ctx=ctx, verbose=False)
+
+    cfg2 = _smoke_cfg(tmp_path / "mesh", num_steps=60)
+    cfg2.partition.n_parts = 4
+    cfg2.beam_cells = (8, 1, 1)
+    cfg2.beam_extent = (8.0, 1.0, 1.0)
+    ctx2 = build_context(cfg2, device_mesh=make_device_mesh(4))
+    data_prepare.run(cfg2, ctx=ctx2, verbose=False)
+
+    for r in range(4):
+        a = load_displacement(
+            ArtifactStore(cfg.workdir, cfg.model_dir, "x").dynamics_h5(r)
+        )
+        b = load_displacement(
+            ArtifactStore(cfg2.workdir, cfg2.model_dir, "x").dynamics_h5(r)
+        )
+        assert np.allclose(a, b, atol=1e-12)

@@ -179,3 +179,31 @@ def test_sync_avoiding_mode_runs_and_differs():
     assert np.allclose(
         np.asarray(traj_m), np.asarray(traj_s), atol=1e-12
     )
+
+
+def test_shard_map_multiple_parts_per_device():
+    """8 parts over 4 devices: shard_map splits the part axis 2-per-device;
+    local sums compose with the cross-device psum (how big meshes keep
+    local dense blocks small on real hardware)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg, prob = _problem(16)
+    num_steps = 50
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 8, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    (traj_e, _), _ = ShardedSolver(sp, mesh=None).run(
+        d0, dnl, 0.0, num_steps, sync=True
+    )
+    mesh = make_device_mesh(4)
+    (traj_m, _), _ = ShardedSolver(sp, mesh=mesh).run(
+        d0, dnl, 0.0, num_steps, sync=True
+    )
+    assert np.allclose(np.asarray(traj_e), np.asarray(traj_m), atol=1e-12)
