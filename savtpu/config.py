@@ -89,6 +89,11 @@ class SurrogateConfig:
     dtype: str = "float32"
     stacked: bool = False  # train all shards' models in one vmapped pass
                            # (features padded to the max shard width)
+    input_noise: float = 0.0  # savtpu extension: stddev of Gaussian noise
+                              # added to encoder inputs during training
+                              # (scaled units) — robustifies the open-loop
+                              # block recursion against its own feedback
+                              # error at high shard counts
 
     @property
     def epochs(self) -> int:

@@ -283,7 +283,9 @@ def fit_stacked(
 
     n_future = cfg.n_future
 
-    def one_shard_epoch(params, opt_state, Xs, Ys, fm, perm):
+    noise = float(getattr(cfg, "input_noise", 0.0) or 0.0)
+
+    def one_shard_epoch(params, opt_state, Xs, Ys, fm, perm, nkey):
         """One shard, one epoch: scan over shuffled full batches."""
         Xp = Xs[perm][: steps_per_epoch * bs].reshape(
             steps_per_epoch, bs, *Xs.shape[1:]
@@ -291,6 +293,10 @@ def fit_stacked(
         Yp = Ys[perm][: steps_per_epoch * bs].reshape(
             steps_per_epoch, bs, *Ys.shape[1:]
         )
+        if noise > 0.0:
+            # noise-injected training (savtpu extension): robustifies the
+            # online block recursion against its own feedback error
+            Xp = Xp + noise * jax.random.normal(nkey, Xp.shape, Xp.dtype) * fm
 
         def train_batch(carry, batch):
             params, opt_state = carry
@@ -317,9 +323,9 @@ def fit_stacked(
         out = seq2seq_predict(params, Xs, n_future, feat_mask=fm)
         return jnp.stack(masked_metrics(out, Ys, fm))
 
-    def epoch_all(params, opt_state, perms):
+    def epoch_all(params, opt_state, perms, nkeys):
         return jax.vmap(one_shard_epoch)(
-            params, opt_state, Xtr, Ytr, feat_mask, perms
+            params, opt_state, Xtr, Ytr, feat_mask, perms, nkeys
         )
 
     def eval_all(params):
@@ -350,7 +356,10 @@ def fit_stacked(
         perms = jnp.asarray(
             np.stack([np_rng.permutation(n_train) for _ in range(Pn)])
         )
-        params, opt_state, tl = epoch_all(params, opt_state, perms)
+        nkeys = jax.vmap(
+            lambda s: jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 3), s)
+        )(jnp.arange(epoch * Pn, (epoch + 1) * Pn))
+        params, opt_state, tl = epoch_all(params, opt_state, perms, nkeys)
         vl = eval_all(params)
         tl, vl = np.asarray(tl), np.asarray(vl)  # (P, 3)
         for j, k in enumerate(("loss", "r2", "rel")):

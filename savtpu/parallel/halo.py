@@ -109,3 +109,68 @@ def build_partition_maps(
         global_shared=global_shared,
         local_dirichlet=local_dirichlet,
     )
+
+
+def rcm_reorder_maps(maps: PartitionMaps, cells: np.ndarray) -> PartitionMaps:
+    """Reverse-Cuthill-McKee reorder of each part's local node list.
+
+    Minimizes the local stiffness bandwidth so the banded F_int mode can
+    store K as block-tridiagonal chunks (savtpu.parallel.sharded). The
+    local DOF layout is a savtpu-internal choice — all downstream maps
+    (shared lists, Dirichlet, element localization) are rebuilt from the
+    new order, so artifacts stay self-consistent."""
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    cells = np.asarray(cells)
+    new_local = []
+    for p in range(maps.n_parts):
+        nodes = maps.local_nodes[p]
+        lookup = {int(g): i for i, g in enumerate(nodes)}
+        loc = np.array(
+            [[lookup[int(n)] for n in cells[e]] for e in maps.local_elements[p]]
+        )
+        L = len(nodes)
+        rows, cols = [], []
+        nb = loc.shape[1]
+        for a in range(nb):
+            for b in range(nb):
+                rows.append(loc[:, a])
+                cols.append(loc[:, b])
+        adj = sps.coo_matrix(
+            (
+                np.ones(len(maps.local_elements[p]) * nb * nb),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(L, L),
+        ).tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+        new_local.append(nodes[perm])
+
+    # rebuild shared + dirichlet in the new local orders
+    new_shared = [
+        ln[np.isin(ln, maps.global_shared)] for ln in new_local
+    ]
+    # recover dirichlet node set from the old maps (local dof -> node)
+    new_dirichlet = []
+    for p in range(maps.n_parts):
+        old_nodes = maps.local_nodes[p]
+        dir_nodes = set(
+            int(old_nodes[d // 3]) for d in maps.local_dirichlet[p]
+        )
+        loc = np.flatnonzero(
+            np.fromiter((int(g) in dir_nodes for g in new_local[p]), bool)
+        )
+        new_dirichlet.append(
+            (3 * loc[:, None] + np.arange(3)[None, :]).reshape(-1)
+        )
+
+    return PartitionMaps(
+        n_parts=maps.n_parts,
+        epart=maps.epart,
+        local_elements=maps.local_elements,
+        local_nodes=new_local,
+        shared_nodes=new_shared,
+        global_shared=maps.global_shared,
+        local_dirichlet=new_dirichlet,
+    )

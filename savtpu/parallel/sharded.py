@@ -54,6 +54,50 @@ def make_device_mesh(n_devices: Optional[int] = None) -> Mesh:
     return jax.make_mesh((len(devs),), (AXIS,), devices=devs)
 
 
+def _build_banded(npn, DLp, edofs, Ke, dtype, chunk_quantum=256):
+    """Block-tridiagonal storage of per-part local stiffness (requires
+    RCM-ordered local DOFs so the bandwidth is small). Chunk size Bk is
+    the bandwidth rounded up to ``chunk_quantum``; symmetry lets the
+    super-diagonal be the transposed next sub-diagonal, so traffic per
+    matvec is ~2*DL*Bk instead of DL^2."""
+    # dof-level bandwidth over all parts (padded element rows excluded)
+    band = 1
+    for p in range(npn):
+        ed = edofs[p]
+        real = ed[:, 0] < DLp  # padded rows point at the dummy slot
+        if real.any():
+            e = ed[real]
+            band = max(
+                band, int((e.max(axis=1) - e.min(axis=1)).max(initial=1))
+            )
+    Bk = -(-band // chunk_quantum) * chunk_quantum
+    nc = -(-DLp // Bk)
+    Kd = np.zeros((npn, nc, Bk, Bk), dtype=np.float64)
+    Kl = np.zeros((npn, nc, Bk, Bk), dtype=np.float64)
+    for p in range(npn):
+        ed = edofs[p]
+        real = ed[:, 0] < DLp
+        e = ed[real].astype(np.int64)
+        nb3 = e.shape[1]
+        rows = np.repeat(e, nb3, axis=1).reshape(-1)
+        cols = np.tile(e, (1, nb3)).reshape(-1)
+        vals = Ke[p][real].reshape(-1)
+        rc, ro = np.divmod(rows, Bk)
+        cc, co = np.divmod(cols, Bk)
+        diag = rc == cc
+        np.add.at(Kd[p], (rc[diag], ro[diag], co[diag]), vals[diag])
+        low = rc == cc + 1
+        np.add.at(Kl[p], (rc[low], ro[low], co[low]), vals[low])
+        # rc == cc - 1 is recovered from symmetry; |rc - cc| > 1 is
+        # impossible when Bk >= the dof bandwidth
+    return (
+        jnp.asarray(Kd, dtype=dtype),
+        jnp.asarray(Kl, dtype=dtype),
+        nc,
+        Bk,
+    )
+
+
 def _build_ell(npn, L_max, edofs, Ke, dtype):
     """Node-block ELLPACK from per-part element stiffness: for each local
     node row, a fixed-width list of (column node, 3x3 block). Duplicate
@@ -125,6 +169,10 @@ class ShardedProblem:
     ell_blocks: Optional[jnp.ndarray] = None  # (P, L_max, C_max, 3, 3)
     ell_cols: Optional[jnp.ndarray] = None    # (P, L_max, C_max) node col
                                               # ids, pad -> L_max (zero row)
+    # block-tridiagonal banded arrays (fint_mode == 'banded', RCM order):
+    band_Kd: Optional[jnp.ndarray] = None     # (P, nc, Bk, Bk) diagonal
+    band_Kl: Optional[jnp.ndarray] = None     # (P, nc, Bk, Bk) sub-diag;
+                                              # super-diag = Kl[i+1]^T (sym)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -135,6 +183,13 @@ class ShardedProblem:
         fint_mode: str = "auto",
         dtype=None,
     ) -> "ShardedProblem":
+        if fint_mode == "banded":
+            # banded storage needs small local bandwidth: RCM-reorder the
+            # local node lists first (sp.maps is then the authoritative
+            # map set for artifacts)
+            from .halo import rcm_reorder_maps
+
+            maps = rcm_reorder_maps(maps, prob.mesh.tetra)
         npn = maps.n_parts
         dtype = dtype or prob.lumped_M.dtype
         L_max = maps.max_local_nodes
@@ -201,9 +256,14 @@ class ShardedProblem:
             fint_mode = "dense" if DL <= 1536 else "ell"
         denseK = None
         ell_blocks = ell_cols = None
+        band_Kd = band_Kl = None
         if fint_mode == "ell":
             ell_blocks, ell_cols = _build_ell(
                 npn, L_max, edofs, Ke, dtype
+            )
+        if fint_mode == "banded":
+            band_Kd, band_Kl, _, _ = _build_banded(
+                npn, 3 * L_max, edofs, Ke, dtype
             )
         if fint_mode == "dense":
             dk = np.zeros((npn, DL, DL), dtype=np.float64)
@@ -220,6 +280,8 @@ class ShardedProblem:
         return cls(
             ell_blocks=ell_blocks,
             ell_cols=ell_cols,
+            band_Kd=band_Kd,
+            band_Kl=band_Kl,
             n_parts=npn,
             DL=DL,
             SD=SD,
@@ -271,6 +333,34 @@ class ShardedProblem:
             # NB: vmapped jnp.dot — jnp.einsum('pij,pj->pi') lowers to a
             # catastrophically slow kernel on TPU (measured 30x slower)
             return jax.vmap(jnp.dot)(self.denseK, d)
+
+        if self.fint_mode == "banded":
+            # block-tridiagonal matvec (RCM-ordered local DOFs): three
+            # batched (Bk, Bk) matmul lanes, super-diagonal from symmetry
+            nc, Bk = self.band_Kd.shape[1], self.band_Kd.shape[2]
+
+            def one(Kd, Kl, dp):
+                x = jnp.zeros((nc * Bk,), dtype=dp.dtype)
+                x = x.at[: self.DL - 1].set(dp[: self.DL - 1])
+                xc = x.reshape(nc, Bk)
+                y = jax.vmap(jnp.dot)(Kd, xc)
+                zero = jnp.zeros((1, Bk), dtype=dp.dtype)
+                y = y + jax.vmap(jnp.dot)(
+                    Kl, jnp.concatenate([zero, xc[:-1]])
+                )
+                Kl_next = jnp.concatenate(
+                    [Kl[1:], jnp.zeros((1, Bk, Bk), dtype=Kl.dtype)]
+                )
+                xp = jnp.concatenate([xc[1:], zero])
+                y = y + jax.vmap(lambda A, v: A.T @ v)(Kl_next, xp)
+                return jnp.concatenate(
+                    [
+                        y.reshape(-1)[: self.DL - 1],
+                        jnp.zeros((1,), dtype=dp.dtype),
+                    ]
+                )
+
+            return jax.vmap(one)(self.band_Kd, self.band_Kl, d)
 
         if self.fint_mode == "ell":
             # node-block ELLPACK SpMV: fixed-width gather + dense 3x3
@@ -416,12 +506,14 @@ class ShardedSolver:
         "sld", "sgi", "smask",
     )
 
+    _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl")
+
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so
         the multi-MB tensors never become baked-in HLO constants."""
         sp = self.sp
         data = {k: getattr(sp, k) for k in self._DATA_FIELDS}
-        for opt in ("denseK", "ell_blocks", "ell_cols"):
+        for opt in self._OPT_FIELDS:
             if getattr(sp, opt) is not None:
                 data[opt] = getattr(sp, opt)
         return data
@@ -431,9 +523,7 @@ class ShardedSolver:
 
         return _dc.replace(
             self.sp,
-            denseK=data.get("denseK"),
-            ell_blocks=data.get("ell_blocks"),
-            ell_cols=data.get("ell_cols"),
+            **{k: data.get(k) for k in self._OPT_FIELDS},
             **{k: data[k] for k in self._DATA_FIELDS},
         )
 

@@ -86,7 +86,7 @@ def _serial_traj(prob, num_steps):
 
 
 @pytest.mark.parametrize("n_parts", [2, 4])
-@pytest.mark.parametrize("fint_mode", ["dense", "ebe", "ell"])
+@pytest.mark.parametrize("fint_mode", ["dense", "ebe", "ell", "banded"])
 def test_emulated_exchanged_matches_serial(n_parts, fint_mode):
     cfg, prob = _problem(8)
     num_steps = 100
