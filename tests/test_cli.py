@@ -1,0 +1,57 @@
+"""CLI entry points: the stage mains run end-to-end via `python -m ...`
+(the reference's `mpirun -np 2 python3 <stage>.py` workflow equivalent,
+README.md:31-38)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from savtpu.config import Config
+from savtpu.io.artifacts import ArtifactStore, load_displacement
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # read at interpreter start -> effective
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable, "-m", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+    )
+
+
+@pytest.mark.slow
+def test_run_all_cli(tmp_path):
+    cfg = Config()
+    cfg.workdir = str(tmp_path / "Results")
+    cfg.model_dir = str(tmp_path / "Distributed_save")
+    cfg.beam_cells = (6, 1, 1)
+    cfg.beam_extent = (6.0, 1.0, 1.0)
+    cfg.partition.n_parts = 2
+    cfg.solver.num_steps = 100
+    s = cfg.surrogate
+    s.n_past = s.n_future = 4
+    s.filter_size = 5
+    s.cut_off = 0.5
+    s.batch_size = 2
+    s.num_epochs = 10
+    s.hidden_size = 8
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(cfg_path)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = _run(["savtpu.pipeline.run_all", "--config", str(cfg_path)], repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, s.run_tag())
+    pred = load_displacement(store.modeled_h5(0))
+    assert pred.shape[1] == 100 and np.isfinite(pred).all()
+    assert (tmp_path / "Results" / "Comparison.pdf").exists()
+    metrics = json.loads(
+        (tmp_path / "Results" / "comparison_metrics.json").read_text()
+    )
+    assert metrics
