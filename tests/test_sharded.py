@@ -207,3 +207,35 @@ def test_shard_map_multiple_parts_per_device():
         d0, dnl, 0.0, num_steps, sync=True
     )
     assert np.allclose(np.asarray(traj_e), np.asarray(traj_m), atol=1e-12)
+
+
+def test_rcm_reorder_maps_consistency():
+    from savtpu.parallel.halo import rcm_reorder_maps
+
+    cfg, prob = _problem(10)
+    cells = prob.mesh.tetra
+    epart = partition_elements(cells, prob.mesh.points, 3, method="rcb")
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(cells, epart, prob.mesh.num_points, dn_nodes)
+    rc = rcm_reorder_maps(maps, cells)
+    for p in range(3):
+        # same node sets, permuted order
+        assert set(rc.local_nodes[p].tolist()) == set(
+            maps.local_nodes[p].tolist()
+        )
+        assert set(rc.shared_nodes[p].tolist()) == set(
+            maps.shared_nodes[p].tolist()
+        )
+        # dirichlet refers to the same global nodes
+        old_d = {int(maps.local_nodes[p][d // 3]) for d in maps.local_dirichlet[p]}
+        new_d = {int(rc.local_nodes[p][d // 3]) for d in rc.local_dirichlet[p]}
+        assert old_d == new_d
+        # RCM reduces (or preserves) the element dof bandwidth
+        def bandwidth(m):
+            lk = {int(g): i for i, g in enumerate(m.local_nodes[p])}
+            w = 0
+            for e in m.local_elements[p]:
+                loc = [lk[int(n)] for n in cells[e]]
+                w = max(w, max(loc) - min(loc))
+            return w
+        assert bandwidth(rc) <= bandwidth(maps)
