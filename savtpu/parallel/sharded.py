@@ -183,6 +183,11 @@ class ShardedProblem:
         fint_mode: str = "auto",
         dtype=None,
     ) -> "ShardedProblem":
+        if fint_mode == "auto":
+            # measured on v5e: dense fastest for small local blocks,
+            # block-tridiagonal banded (RCM) fastest beyond
+            DL_est = 3 * maps.max_local_nodes + 1
+            fint_mode = "dense" if DL_est <= 1536 else "banded"
         if fint_mode == "banded":
             # banded storage needs small local bandwidth: RCM-reorder the
             # local node lists first (sp.maps is then the authoritative
@@ -252,8 +257,6 @@ class ShardedProblem:
             sgi[p, : len(sdofs)] = gsdofs
             smask[p, : len(sdofs)] = 1.0
 
-        if fint_mode == "auto":
-            fint_mode = "dense" if DL <= 1536 else "ell"
         denseK = None
         ell_blocks = ell_cols = None
         band_Kd = band_Kl = None
