@@ -84,10 +84,16 @@ def _build_banded(npn, DLp, edofs, Ke, dtype, chunk_quantum=256):
         vals = Ke[p][real].reshape(-1)
         rc, ro = np.divmod(rows, Bk)
         cc, co = np.divmod(cols, Bk)
+        size = nc * Bk * Bk
+        lin = (rc * Bk + ro) * Bk + co
         diag = rc == cc
-        np.add.at(Kd[p], (rc[diag], ro[diag], co[diag]), vals[diag])
+        Kd[p] += np.bincount(
+            lin[diag], weights=vals[diag], minlength=size
+        ).reshape(nc, Bk, Bk)
         low = rc == cc + 1
-        np.add.at(Kl[p], (rc[low], ro[low], co[low]), vals[low])
+        Kl[p] += np.bincount(
+            lin[low], weights=vals[low], minlength=size
+        ).reshape(nc, Bk, Bk)
         # rc == cc - 1 is recovered from symmetry; |rc - cc| > 1 is
         # impossible when Bk >= the dof bandwidth
     return (

@@ -219,3 +219,39 @@ def test_config_json_round_trip(tmp_path):
     assert back.surrogate.epochs == cfg.surrogate.epochs == 3450
     assert back.surrogate.i_cri == 2999
     assert back.surrogate.block_size == 3000
+
+
+def test_simulation_facade(tmp_path):
+    from savtpu import api
+
+    cfg = Config()
+    cfg.workdir = str(tmp_path / "Results")
+    cfg.model_dir = str(tmp_path / "models")
+    cfg.beam_cells = (6, 1, 1)
+    cfg.beam_extent = (6.0, 1.0, 1.0)
+    cfg.partition.n_parts = 2
+    cfg.solver.num_steps = 100
+    s = cfg.surrogate
+    s.n_past = s.n_future = 4
+    s.filter_size = 5
+    s.cut_off = 0.5
+    s.batch_size = 2
+    s.num_epochs = 10
+    s.hidden_size = 8
+
+    sim = api.Simulation(cfg, verbose=False)
+    d = sim.steady()
+    assert d.shape == (sim.ctx.prob.ndof,)
+    metrics = sim.run_all()
+    assert any(k.endswith("rel_l2_nonshared") for k in metrics)
+
+
+def test_artifact_npz_fallback(tmp_path, monkeypatch):
+    from savtpu.io import artifacts
+
+    monkeypatch.setattr(artifacts, "_HAS_H5PY", False)
+    data = np.arange(12.0).reshape(3, 4)
+    p = artifacts.save_displacement(tmp_path / "x.hdf5", data)
+    assert p.suffix == ".npz"
+    back = artifacts.load_displacement(tmp_path / "x.hdf5")
+    assert np.array_equal(back, data)
