@@ -86,7 +86,7 @@ CASES = [
     (96, 8, 8, 64, "ell", 2000),
     (192, 12, 12, 64, "banded", 1000),
     (192, 12, 12, 256, "dense", 1000),
-    (384, 16, 16, 256, "banded", 500),  # ~1.2M tets on one chip
+    (384, 16, 16, 256, "banded", 500),  # 590k tets on one chip
 ]
 
 QUICK = [(25, 1, 1, 2, "dense", 5000), (48, 4, 4, 8, "ell", 2000)]
