@@ -87,6 +87,12 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    training_method: str = "recursive"  # "recursive" | "mtf" (mixed
+                                        # teacher forcing, working version
+                                        # of the reference's unused branch)
+    tf_ratio: float = 0.6               # initial teacher-forcing ratio
+                                        # (Model_training.py:46), decays
+                                        # 0.005/batch like the reference
     stacked: bool = False  # train all shards' models in one vmapped pass
                            # (features padded to the max shard width)
     input_noise: float = 0.0  # savtpu extension: stddev of Gaussian noise

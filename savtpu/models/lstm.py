@@ -103,13 +103,16 @@ def init_seq2seq(
     return {"encoder": enc, "decoder": dec, "fc": fc}
 
 
-def encoder_forward(params, x):
+def encoder_forward(params, x, dropout: float = 0.0, key=None):
     """x (B, T, input) -> final last-layer states (hn, cn), each (B, D*H)
     with forward/backward concatenated (LSTM_Encoder.forward,
-    DNN_tools.py:37-59)."""
+    DNN_tools.py:37-59). ``dropout`` applies between stacked layers
+    (PyTorch nn.LSTM semantics: all layers except the last), train-time
+    only (pass a PRNG key)."""
     xs = jnp.swapaxes(x, 0, 1)  # (T, B, in)
     hn = cn = None
-    for layer in params["encoder"]:
+    n_layers = len(params["encoder"])
+    for li, layer in enumerate(params["encoder"]):
         out_f, (hf, cf) = _run_direction(layer["fwd"], xs, reverse=False)
         if "bwd" in layer:
             out_b, (hb, cb) = _run_direction(layer["bwd"], xs, reverse=True)
@@ -119,6 +122,10 @@ def encoder_forward(params, x):
         else:
             xs = out_f
             hn, cn = hf, cf
+        if dropout > 0.0 and key is not None and li < n_layers - 1:
+            key, sub = jax.random.split(key)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout, xs.shape)
+            xs = xs * keep / (1.0 - dropout)
     return hn, cn
 
 
@@ -152,6 +159,48 @@ def seq2seq_predict(params, x, n_future: int, feat_mask=None):
 
     _, ys = jax.lax.scan(step, (x_last, hn, cn), None, length=n_future)
     return jnp.swapaxes(ys, 0, 1)  # (B, n_future, input)
+
+
+def seq2seq_train_decode(
+    params,
+    x,
+    y_truth,
+    n_future: int,
+    key,
+    tf_ratio: float = 0.0,
+    dropout_encoder: float = 0.0,
+    dropout_decoder: float = 0.0,
+    feat_mask=None,
+):
+    """Training-time forward with the reference's optional knobs working:
+    mixed teacher forcing (the reference's 'mtf' branch at
+    DNN_tools.py:128-141 — there broken by a missing import and unused by
+    the paper; implemented correctly here: at each decode step the next
+    input is the ground truth with probability ``tf_ratio``) and dropout
+    (encoder inter-layer + decoder pre-head, DNN_tools.py:30,74-80)."""
+    kenc, kdec, ktf = jax.random.split(key, 3)
+    hn, cn = encoder_forward(params, x, dropout=dropout_encoder, key=kenc)
+    x_last = x[:, -1, :]
+    yt = jnp.swapaxes(y_truth, 0, 1)  # (n_future, B, input)
+    coins = jax.random.uniform(ktf, (n_future,))
+    dkeys = jax.random.split(kdec, n_future)
+
+    def step(carry, inp):
+        xi, h, c = carry
+        truth_row, coin, dk = inp
+        h2, c2 = lstm_cell(params["decoder"], xi, h, c)
+        hid = h2
+        if dropout_decoder > 0.0:
+            keep = jax.random.bernoulli(dk, 1.0 - dropout_decoder, hid.shape)
+            hid = hid * keep / (1.0 - dropout_decoder)
+        y = hid @ params["fc"]["W"] + params["fc"]["b"]
+        if feat_mask is not None:
+            y = y * feat_mask
+        nxt = jnp.where(coin < tf_ratio, truth_row, y)
+        return (nxt, h2, c2), y
+
+    _, ys = jax.lax.scan(step, (x_last, hn, cn), (yt, coins, dkeys))
+    return jnp.swapaxes(ys, 0, 1)
 
 
 def num_params(params) -> int:

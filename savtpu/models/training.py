@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from ..config import SurrogateConfig
-from .lstm import init_seq2seq, seq2seq_predict
+from .lstm import init_seq2seq, seq2seq_predict, seq2seq_train_decode
 
 
 def mse(a, b):
@@ -51,31 +51,50 @@ class TrainState:
         return mse(out, Y), out
 
 
-def _make_epoch_fns(state: TrainState):
+def _make_epoch_fns(state: TrainState, cfg=None):
     tx, n_future = state.tx, state.n_future
+    method = getattr(cfg, "training_method", "recursive") if cfg else "recursive"
+    dp_enc = getattr(cfg, "dropout_encoder", 0.0) if cfg else 0.0
+    dp_dec = getattr(cfg, "dropout_decoder", 0.0) if cfg else 0.0
+    stochastic = method == "mtf" or dp_enc > 0 or dp_dec > 0
 
     def loss_fn(params, X, Y):
         out = seq2seq_predict(params, X, n_future)
         loss = mse(out, Y)
         return loss, out
 
-    def train_batch(carry, batch):
-        params, opt_state = carry
-        X, Y = batch
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, X, Y
+    def loss_fn_mtf(params, X, Y, key, ratio):
+        out = seq2seq_train_decode(
+            params, X, Y, n_future, key,
+            tf_ratio=ratio, dropout_encoder=dp_enc, dropout_decoder=dp_dec,
         )
+        return mse(out, Y), out
+
+    def train_batch(carry, batch):
+        params, opt_state, ratio, key = carry
+        X, Y = batch
+        if stochastic:
+            key, sub = jax.random.split(key)
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn_mtf, has_aux=True
+            )(params, X, Y, sub, ratio)
+            # teacher-forcing ratio decays per batch (DNN_tools.py:160-162)
+            ratio = jnp.maximum(ratio - 0.005, 0.0)
+        else:
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, X, Y
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         _, r2, rel = batch_metrics(out, Y)
-        return (params, opt_state), jnp.stack([loss, r2, rel])
+        return (params, opt_state, ratio, key), jnp.stack([loss, r2, rel])
 
     @jax.jit
-    def train_epoch(params, opt_state, Xb, Yb):
-        (params, opt_state), stats = jax.lax.scan(
-            train_batch, (params, opt_state), (Xb, Yb)
+    def train_epoch(params, opt_state, Xb, Yb, ratio, key):
+        (params, opt_state, ratio, _), stats = jax.lax.scan(
+            train_batch, (params, opt_state, ratio, key), (Xb, Yb)
         )
-        return params, opt_state, stats.sum(axis=0)
+        return params, opt_state, ratio, stats.sum(axis=0)
 
     @jax.jit
     def eval_batch(params, X, Y):
@@ -96,7 +115,8 @@ def _stack_batches(X, Y, bs):
 
 def evaluate(state: TrainState, X, Y, batch_size: int):
     """Validation pass (model_test, DNN_tools.py:170-207): per-batch metric
-    sums / batch count, unshuffled."""
+    sums / batch count, unshuffled (always deterministic recursive
+    decode, like the reference's model_test)."""
     _, eval_batch = _make_epoch_fns(state)
     tot = np.zeros(3)
     nb = 0
@@ -144,7 +164,9 @@ def fit(
     )
     tx = optax.adam(schedule)
     state = TrainState(params, tx.init(params), tx, cfg.n_future)
-    train_epoch, eval_batch = _make_epoch_fns(state)
+    train_epoch, eval_batch = _make_epoch_fns(state, cfg)
+    ratio = jnp.asarray(getattr(cfg, "tf_ratio", 0.0), dtype=dtype)
+    mkey = jax.random.PRNGKey(cfg.seed + 9)
 
     hist = {k: [] for k in (
         "train_loss", "train_r2", "train_rel",
@@ -160,14 +182,18 @@ def fit(
         nb = Xb.shape[0]
         tot = np.zeros(3)
         if nb:
-            params, opt_state, stats = train_epoch(params, opt_state, Xb, Yb)
+            mkey, sub = jax.random.split(mkey)
+            params, opt_state, ratio, stats = train_epoch(
+                params, opt_state, Xb, Yb, ratio, sub
+            )
             tot += np.asarray(stats)
         if tail is not None:
             # single ragged batch: reuse the scan body via a length-1 scan
             # (a second compiled shape, cached after epoch 0)
             Xt, Yt = tail
-            params, opt_state, stats = train_epoch(
-                params, opt_state, Xt[None], Yt[None]
+            mkey, sub = jax.random.split(mkey)
+            params, opt_state, ratio, stats = train_epoch(
+                params, opt_state, Xt[None], Yt[None], ratio, sub
             )
             tot += np.asarray(stats)
             nb += 1

@@ -182,3 +182,39 @@ def test_phase_interleaved_predictor_matches_loop_oracle():
         out = seq2seq_predict(params, jnp.asarray(Xh)[None], n_f)[0]
         NF[Nfi - n] = np.asarray(scale_back(out, smax, smin))
     assert np.allclose(block, NF, atol=1e-12)
+
+
+def test_mtf_and_dropout_training_path():
+    """Mixed teacher forcing + dropout (the reference carries these knobs
+    but its 'mtf' branch is broken/unused; ours works): training converges
+    and with tf_ratio=0 / dropout=0 the stochastic path reduces to the
+    recursive decode exactly."""
+    from savtpu.models.lstm import seq2seq_train_decode
+
+    t = np.linspace(0, 20, 600)
+    D = 3
+    sig = np.stack([np.sin(0.8 * t + 0.4 * d) for d in range(D)], axis=1)
+    X, Y = strided_windows(sig, n_past=8, n_future=8, filter_size=2)
+    X, Y, smax, smin = scale_to_zero_one(X, Y)
+    cfg = SurrogateConfig(
+        hidden_size=12, n_past=8, n_future=8, filter_size=2,
+        batch_size=16, learning_rate=5e-3, num_epochs=40, seed=0,
+        training_method="mtf", tf_ratio=0.6,
+        dropout_encoder=0.1, dropout_decoder=0.1,
+    )
+    rng = np.random.default_rng(0)
+    tr, va = train_val_split(len(X), 0.75, rng)
+    params, hist = fit(cfg, X[tr], Y[tr], X[va], Y[va], log_every=0)
+    assert hist["train_loss"][-1] < hist["train_loss"][0] / 3
+    assert hist["val_r2"][-1] > 0.9
+
+    # degenerate stochastic path == deterministic recursive decode
+    p2 = init_seq2seq(jax.random.PRNGKey(3), D, 8, 2, True, dtype=jnp.float64)
+    xb = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, D)))
+    yb = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, D)))
+    out_s = seq2seq_train_decode(
+        p2, xb, yb, 8, jax.random.PRNGKey(0), tf_ratio=0.0,
+        dropout_encoder=0.0, dropout_decoder=0.0,
+    )
+    out_d = seq2seq_predict(p2, xb, 8)
+    assert np.allclose(np.asarray(out_s), np.asarray(out_d), atol=1e-12)
