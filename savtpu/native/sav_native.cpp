@@ -141,6 +141,33 @@ int sav_partition_graph(const int64_t* xadj, const int64_t* adjncy,
   }
 
   int64_t max_size = (n + nparts - 1) / nparts + 1;
+
+  // balance sweeps: shed boundary vertices of oversized parts to adjacent
+  // under-capacity parts (greedy growing + leftover attachment can leave
+  // imbalance that pure gain-moves never repair)
+  for (int64_t sweep = 0; sweep < 4 * nparts; ++sweep) {
+    bool oversized = false;
+    for (int64_t p = 0; p < nparts; ++p)
+      if (sizes[static_cast<size_t>(p)] > max_size) oversized = true;
+    if (!oversized) break;
+    int64_t moved = 0;
+    for (int64_t v = 0; v < n; ++v) {
+      int64_t pv = part[static_cast<size_t>(v)];
+      if (sizes[static_cast<size_t>(pv)] <= max_size) continue;
+      for (int64_t e = xadj[v]; e < xadj[v + 1]; ++e) {
+        int64_t pu = part[static_cast<size_t>(adjncy[e])];
+        if (pu != pv && sizes[static_cast<size_t>(pu)] < max_size) {
+          part[static_cast<size_t>(v)] = pu;
+          sizes[static_cast<size_t>(pv)]--;
+          sizes[static_cast<size_t>(pu)]++;
+          ++moved;
+          break;
+        }
+      }
+    }
+    if (moved == 0) break;
+  }
+
   for (int64_t pass = 0; pass < refine_passes; ++pass) {
     if (refine_pass(xadj, adjncy, n, nparts, part, sizes, max_size) == 0)
       break;
