@@ -137,100 +137,154 @@ def fit(
     log_every: int = 50,
     log_fn=print,
 ) -> Tuple[Dict, Dict[str, List[float]]]:
-    """Train a seq2seq surrogate; returns (params, history dict)."""
-    dtype = jnp.dtype(cfg.dtype)
-    X_train = jnp.asarray(X_train, dtype=dtype)
-    Y_train = jnp.asarray(Y_train, dtype=dtype)
-    input_size = X_train.shape[-1]
+    """Train a seq2seq surrogate; returns (params, history dict).
 
-    key = jax.random.PRNGKey(cfg.seed)
-    kinit, kshuf = jax.random.split(key)
+    The ENTIRE training run — per-epoch on-device shuffling, the batch
+    scan, the ragged tail batch, and validation — is one lax.scan over
+    epochs inside one jit: a single device dispatch for all 3450 epochs.
+    (A per-epoch-dispatch variant measured 20x slower through a
+    high-latency device link.)"""
+    dtype = jnp.dtype(cfg.dtype)
+    X = jnp.asarray(X_train, dtype=dtype)
+    Y = jnp.asarray(Y_train, dtype=dtype)
+    input_size = X.shape[-1]
+
+    kinit, _ = jax.random.split(jax.random.PRNGKey(cfg.seed))
     if params is None:
         params = init_seq2seq(
-            kinit,
-            input_size,
-            cfg.hidden_size,
-            cfg.num_layers_encoder,
-            cfg.bidirectional,
-            dtype=dtype,
+            kinit, input_size, cfg.hidden_size, cfg.num_layers_encoder,
+            cfg.bidirectional, dtype=dtype,
         )
 
     num_epochs = cfg.epochs
-    n_train = X_train.shape[0]
+    n_train = X.shape[0]
     bs = min(cfg.batch_size, n_train)
-    steps_per_epoch = -(-n_train // bs)
+    nb_full, r = divmod(n_train, bs)
+    steps_per_epoch = nb_full + (1 if r else 0)
     schedule = lambda step: cfg.learning_rate * (
         cfg.decay ** (step // steps_per_epoch)
     )
     tx = optax.adam(schedule)
-    state = TrainState(params, tx.init(params), tx, cfg.n_future)
-    train_epoch, eval_batch = _make_epoch_fns(state, cfg)
-    ratio = jnp.asarray(getattr(cfg, "tf_ratio", 0.0), dtype=dtype)
-    mkey = jax.random.PRNGKey(cfg.seed + 9)
+    opt_state = tx.init(params)
 
-    hist = {k: [] for k in (
-        "train_loss", "train_r2", "train_rel",
-        "val_loss", "val_r2", "val_rel",
-    )}
+    n_future = cfg.n_future
+    method = getattr(cfg, "training_method", "recursive")
+    dp_enc = getattr(cfg, "dropout_encoder", 0.0)
+    dp_dec = getattr(cfg, "dropout_decoder", 0.0)
+    stochastic = method == "mtf" or dp_enc > 0 or dp_dec > 0
+    ratio0 = jnp.asarray(
+        getattr(cfg, "tf_ratio", 0.0) if method == "mtf" else 0.0, dtype
+    )
+    base_key = jax.random.PRNGKey(cfg.seed + 9)
 
-    np_rng = np.random.default_rng(cfg.seed + 1)
-    params, opt_state = state.params, state.opt_state
-    for epoch in range(num_epochs):
-        perm = np_rng.permutation(n_train)
-        Xs, Ys = X_train[perm], Y_train[perm]
-        Xb, Yb, tail = _stack_batches(Xs, Ys, bs)
-        nb = Xb.shape[0]
-        tot = np.zeros(3)
-        if nb:
-            mkey, sub = jax.random.split(mkey)
-            params, opt_state, ratio, stats = train_epoch(
-                params, opt_state, Xb, Yb, ratio, sub
-            )
-            tot += np.asarray(stats)
-        if tail is not None:
-            # single ragged batch: reuse the scan body via a length-1 scan
-            # (a second compiled shape, cached after epoch 0)
-            Xt, Yt = tail
-            mkey, sub = jax.random.split(mkey)
-            params, opt_state, ratio, stats = train_epoch(
-                params, opt_state, Xt[None], Yt[None], ratio, sub
-            )
-            tot += np.asarray(stats)
-            nb += 1
-        tot /= max(nb, 1)
-        hist["train_loss"].append(float(tot[0]))
-        hist["train_r2"].append(float(tot[1]))
-        hist["train_rel"].append(float(tot[2]))
+    has_val = X_val is not None and len(X_val) > 0
+    if has_val:
+        Xv = jnp.asarray(X_val, dtype=dtype)
+        Yv = jnp.asarray(Y_val, dtype=dtype)
+        nv = Xv.shape[0]
+        vb_full, vr = divmod(nv, bs)
+        Xvb = Xv[: vb_full * bs].reshape(vb_full, bs, *Xv.shape[1:])
+        Yvb = Yv[: vb_full * bs].reshape(vb_full, bs, *Yv.shape[1:])
+        Xvt, Yvt = Xv[vb_full * bs :], Yv[vb_full * bs :]
+        v_batches = vb_full + (1 if vr else 0)
 
-        if X_val is not None and len(X_val):
-            vt = np.zeros(3)
-            vb = 0
-            for s in range(0, X_val.shape[0], bs):
-                stats = eval_batch(
-                    params,
-                    jnp.asarray(X_val[s : s + bs], dtype=dtype),
-                    jnp.asarray(Y_val[s : s + bs], dtype=dtype),
+    def batch_step(carry, batch):
+        params, opt_state, ratio, key = carry
+        Xb, Yb = batch
+        if stochastic:
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                out = seq2seq_train_decode(
+                    p, Xb, Yb, n_future, sub, tf_ratio=ratio,
+                    dropout_encoder=dp_enc, dropout_decoder=dp_dec,
                 )
-                vt += np.asarray(stats)
-                vb += 1
-            vt /= max(vb, 1)
-            hist["val_loss"].append(float(vt[0]))
-            hist["val_r2"].append(float(vt[1]))
-            hist["val_rel"].append(float(vt[2]))
+                return mse(out, Yb), out
 
-        if log_every and epoch % log_every == 0:
-            lr = cfg.learning_rate * cfg.decay**epoch
-            log_fn(
-                f"epoch {epoch}: train mse {tot[0]:.5e} r2 {tot[1]:.4f}"
-                + (
-                    f" | val mse {vt[0]:.5e} r2 {vt[1]:.4f}"
-                    if X_val is not None and len(X_val)
-                    else ""
-                )
-                + f" | lr {lr:.3e}"
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
             )
+            # teacher-forcing ratio decays per batch (DNN_tools.py:160-162)
+            ratio = jnp.maximum(ratio - 0.005, 0.0)
+        else:
 
-    state.params, state.opt_state = params, opt_state
+            def loss_fn(p):
+                out = seq2seq_predict(p, Xb, n_future)
+                return mse(out, Yb), out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        _, r2, rel = batch_metrics(out, Yb)
+        return (params, opt_state, ratio, key), jnp.stack([loss, r2, rel])
+
+    def eval_metrics(params):
+        tot = jnp.zeros(3, dtype)
+        if vb_full:
+
+            def ev(c, b):
+                Xb, Yb = b
+                out = seq2seq_predict(params, Xb, n_future)
+                return c + jnp.stack(batch_metrics(out, Yb)), None
+
+            tot, _ = jax.lax.scan(ev, tot, (Xvb, Yvb))
+        if has_val and vr:
+            out = seq2seq_predict(params, Xvt, n_future)
+            tot = tot + jnp.stack(batch_metrics(out, Yvt))
+        return tot / max(v_batches, 1)
+
+    def epoch_body(carry, eidx):
+        params, opt_state, ratio = carry
+        kperm, kdrop = jax.random.split(jax.random.fold_in(base_key, eidx))
+        perm = jax.random.permutation(kperm, n_train)
+        Xs, Ys = X[perm], Y[perm]
+        c = (params, opt_state, ratio, kdrop)
+        tot = jnp.zeros(3, dtype)
+        if nb_full:
+            Xb = Xs[: nb_full * bs].reshape(nb_full, bs, *X.shape[1:])
+            Yb = Ys[: nb_full * bs].reshape(nb_full, bs, *Y.shape[1:])
+            c, stats = jax.lax.scan(batch_step, c, (Xb, Yb))
+            tot = tot + stats.sum(axis=0)
+        if r:
+            c, stats_t = batch_step(
+                c, (Xs[nb_full * bs :], Ys[nb_full * bs :])
+            )
+            tot = tot + stats_t
+        params, opt_state, ratio, _ = c
+        tot = tot / steps_per_epoch
+        vtot = eval_metrics(params) if has_val else jnp.zeros(3, dtype)
+        return (params, opt_state, ratio), jnp.concatenate([tot, vtot])
+
+    @jax.jit
+    def run(params, opt_state):
+        return jax.lax.scan(
+            epoch_body, (params, opt_state, ratio0), jnp.arange(num_epochs)
+        )
+
+    (params, opt_state, _), hist_arr = run(params, opt_state)
+    hist_arr = np.asarray(hist_arr)
+    hist = {
+        "train_loss": hist_arr[:, 0].tolist(),
+        "train_r2": hist_arr[:, 1].tolist(),
+        "train_rel": hist_arr[:, 2].tolist(),
+        "val_loss": hist_arr[:, 3].tolist() if has_val else [],
+        "val_r2": hist_arr[:, 4].tolist() if has_val else [],
+        "val_rel": hist_arr[:, 5].tolist() if has_val else [],
+    }
+    if log_every:
+        for ep in range(0, num_epochs, log_every):
+            msg = (
+                f"epoch {ep}: train mse {hist_arr[ep, 0]:.5e} "
+                f"r2 {hist_arr[ep, 1]:.4f}"
+            )
+            if has_val:
+                msg += (
+                    f" | val mse {hist_arr[ep, 3]:.5e} "
+                    f"r2 {hist_arr[ep, 4]:.4f}"
+                )
+            log_fn(msg)
     return params, hist
 
 
@@ -370,30 +424,46 @@ def fit_stacked(
         Xtr, Ytr, Xva, Yva = put(Xtr), put(Ytr), put(Xva), put(Yva)
         feat_mask = put(feat_mask)
         params, opt_state = put(params), put(opt_state)
-    epoch_all = jax.jit(epoch_all)
-    eval_all = jax.jit(eval_all)
 
-    hist = {k: [] for k in (
-        "train_loss", "train_r2", "train_rel",
-        "val_loss", "val_r2", "val_rel",
-    )}
-    np_rng = np.random.default_rng(cfg.seed + 2)
-    for epoch in range(cfg.epochs):
-        perms = jnp.asarray(
-            np.stack([np_rng.permutation(n_train) for _ in range(Pn)])
-        )
+    base_key = jax.random.PRNGKey(cfg.seed + 2)
+    nbase_key = jax.random.PRNGKey(cfg.seed + 3)
+
+    def epoch_body(carry, eidx):
+        params, opt_state = carry
+        pkeys = jax.vmap(
+            lambda sh: jax.random.fold_in(
+                jax.random.fold_in(base_key, eidx), sh
+            )
+        )(jnp.arange(Pn))
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, n_train)
+        )(pkeys)
         nkeys = jax.vmap(
-            lambda s: jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 3), s)
-        )(jnp.arange(epoch * Pn, (epoch + 1) * Pn))
+            lambda sh: jax.random.fold_in(
+                jax.random.fold_in(nbase_key, eidx), sh
+            )
+        )(jnp.arange(Pn))
         params, opt_state, tl = epoch_all(params, opt_state, perms, nkeys)
         vl = eval_all(params)
-        tl, vl = np.asarray(tl), np.asarray(vl)  # (P, 3)
-        for j, k in enumerate(("loss", "r2", "rel")):
-            hist[f"train_{k}"].append(tl[:, j])
-            hist[f"val_{k}"].append(vl[:, j])
-        if log_every and epoch % log_every == 0:
+        return (params, opt_state), (tl, vl)
+
+    # the WHOLE training (all epochs, shuffling, validation) is one jitted
+    # scan -> a single device dispatch; essential over high-latency links
+    @jax.jit
+    def run(params, opt_state):
+        return jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(cfg.epochs)
+        )
+
+    (params, opt_state), (tl, vl) = run(params, opt_state)
+    tl, vl = np.asarray(tl), np.asarray(vl)  # (epochs, P, 3)
+    hist = {}
+    for j, k in enumerate(("loss", "r2", "rel")):
+        hist[f"train_{k}"] = tl[:, :, j]
+        hist[f"val_{k}"] = vl[:, :, j]
+    if log_every:
+        for ep in range(0, cfg.epochs, log_every):
             log_fn(
-                f"epoch {epoch}: train mse {tl[:, 0]} | val mse {vl[:, 0]}"
+                f"epoch {ep}: train mse {tl[ep, :, 0]} | val mse {vl[ep, :, 0]}"
             )
-    hist = {k: np.stack(v) for k, v in hist.items()}
     return params, hist
