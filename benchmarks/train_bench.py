@@ -37,18 +37,26 @@ def make_data(G=295, n_past=20, n_future=20, D=27, seed=0):
 
 
 def bench_savtpu(X, Y, epochs):
+    """Two-point measurement: fit() is ONE jitted program whose compile
+    time is epoch-count-independent; (t(N+M) - t(N))/M isolates the
+    steady-state per-epoch cost (what a 3450-epoch production run pays)."""
     from savtpu.config import SurrogateConfig
     from savtpu.models import fit
 
-    cfg = SurrogateConfig(
-        hidden_size=50, n_past=20, n_future=20, batch_size=10,
-        learning_rate=5e-4, num_epochs=epochs, seed=0,
-    )
-    n_train = int(0.75 * len(X))
-    t0 = time.perf_counter()
-    params, hist = fit(cfg, X[:n_train], Y[:n_train], log_every=0)
-    el = time.perf_counter() - t0
-    return el, hist["train_loss"][-1]
+    def run(n):
+        cfg = SurrogateConfig(
+            hidden_size=50, n_past=20, n_future=20, batch_size=10,
+            learning_rate=5e-4, num_epochs=n, seed=0,
+        )
+        n_train = int(0.75 * len(X))
+        t0 = time.perf_counter()
+        params, hist = fit(cfg, X[:n_train], Y[:n_train], log_every=0)
+        return time.perf_counter() - t0, hist["train_loss"][-1]
+
+    t_small, _ = run(10)
+    t_big, loss = run(10 + epochs)
+    steady = (t_big - t_small) / epochs
+    return t_big, loss, steady
 
 
 def bench_torch(X, Y, epochs):
@@ -104,18 +112,24 @@ def main():
     args = ap.parse_args()
     X, Y = make_data()
 
-    jax_s, jax_loss = bench_savtpu(X, Y, args.epochs)
+    jax_s, jax_loss, jax_steady = bench_savtpu(X, Y, args.epochs)
     torch_s, torch_loss = bench_torch(X, Y, args.epochs)
     import jax as _jax
 
+    torch_per_epoch = torch_s / args.epochs
     out = {
         "epochs": args.epochs,
         "device_savtpu": str(_jax.devices()[0]),
-        "savtpu_seconds": jax_s,
-        "savtpu_epochs_per_sec": args.epochs / jax_s,
-        "torch_cpu_seconds": torch_s,
-        "torch_cpu_epochs_per_sec": args.epochs / torch_s,
-        "speedup": torch_s / jax_s,
+        "savtpu_seconds_incl_compile": jax_s,
+        "savtpu_steady_sec_per_epoch": jax_steady,
+        "savtpu_steady_epochs_per_sec": 1.0 / jax_steady,
+        "torch_cpu_sec_per_epoch": torch_per_epoch,
+        "torch_cpu_epochs_per_sec": 1.0 / torch_per_epoch,
+        "steady_speedup_vs_torch_cpu": torch_per_epoch / jax_steady,
+        "reference_3450_epochs_projection_s": {
+            "savtpu": jax_steady * 3450 + (jax_s - jax_steady * args.epochs),
+            "torch_cpu": torch_per_epoch * 3450,
+        },
         "final_losses": {"savtpu": jax_loss, "torch": torch_loss},
     }
     Path(__file__).parent.joinpath("train_results.json").write_text(
