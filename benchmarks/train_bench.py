@@ -53,10 +53,10 @@ def bench_savtpu(X, Y, epochs):
         params, hist = fit(cfg, X[:n_train], Y[:n_train], log_every=0)
         return time.perf_counter() - t0, hist["train_loss"][-1]
 
-    t_small, _ = run(10)
-    t_big, loss = run(10 + epochs)
-    steady = (t_big - t_small) / epochs
-    return t_big, loss, steady
+    t_cold, _ = run(epochs)          # pays the (persistent-cacheable) compile
+    t_warm, loss = run(epochs)       # compile served from cache
+    steady = t_warm / epochs
+    return t_cold, loss, steady
 
 
 def bench_torch(X, Y, epochs):
