@@ -46,6 +46,12 @@ def load_rank_models(ctx: StageContext):
     sur = ctx.cfg.surrogate
     models = []
     for r in range(ctx.sp.n_parts):
+        mf = ctx.store.model_file(r)
+        if not mf.exists():
+            raise FileNotFoundError(
+                f"rank {r}: no trained surrogate at {mf} — run stage 3 "
+                f"(savtpu.pipeline.model_training) first"
+            )
         meta = load_params_meta(ctx.store.model_file(r))
         template = init_seq2seq(
             jax.random.PRNGKey(0),
@@ -95,7 +101,9 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     models = load_rank_models(ctx)
 
     num_steps = cfg.solver.num_steps
-    n_sync = sur.i_cri + 1          # 3000 synchronized steps
+    # runs shorter than the warm-up are simply all-synchronized (the
+    # reference's loop syncs while i <= i_cri, Online_predictor.py:253)
+    n_sync = min(sur.i_cri + 1, num_steps)  # 3000 synchronized steps
     block = sur.block_size          # 3000-step comm-free refill blocks
     P = sp.n_parts
     S3 = sp.sld.shape[1]
