@@ -24,6 +24,28 @@ def _run(args, cwd):
     )
 
 
+def test_dryrun_multichip_env_proof():
+    """`dryrun_multichip` must pass with NO special environment (round-1
+    MULTICHIP check failed because the driver's env initialized a TPU
+    backend). The function re-execs itself in a clean CPU subprocess, so
+    calling it here — even with the test env's own forcing stripped — must
+    succeed."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.pop("_SAVTPU_DRYRUN_CHILD", None)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 @pytest.mark.slow
 def test_run_all_cli(tmp_path):
     cfg = Config()
