@@ -456,12 +456,21 @@ class ShardedProblem:
         reduce_fn: Callable = lambda x: x,
         preds=None,              # (P, num_steps, 3*S_max) if not sync
         record: str = "all",     # "all" | "shared" | "none"
+        save_every: int = 1,
     ):
         """Scan ``num_steps`` steps. Returns ((traj, shared_trace), carry);
-        recorded entries are None when not requested."""
+        recorded entries are None when not requested.
+
+        ``save_every > 1`` applies the trajectory stride *inside* the scan
+        (reference Data_prepare.py:238-240's save_every machinery): the
+        recorded trajectory is d1 of every step i with i % save_every == 0,
+        shape (P, num_steps//save_every, DL), so device memory for the
+        history is O(T/save_every) instead of O(T). The shared-DOF trace is
+        always recorded at full temporal resolution (it is small and feeds
+        the online predictor's per-step history)."""
         dt = self.dt
 
-        def body(carry, x):
+        def step(carry, x):
             d0, dn, tn = carry
             F_int = self._fint_stacked(d0)
             if sync:
@@ -469,24 +478,77 @@ class ShardedProblem:
             d1 = self._update(d0, dn, tn, F_int)
             if x is not None:
                 d1 = self._scatter_pred(d1, x)
-            shared_row = self._gather_shared(d1)
-            outs = (
-                d1 if record == "all" else None,
-                shared_row if record in ("all", "shared") else None,
+            return (d1, d0, tn + dt), d1
+
+        t0 = jnp.asarray(t0, dtype=d0.dtype)
+        want_shared = record in ("all", "shared")
+
+        if save_every == 1:
+
+            def body(carry, x):
+                carry, d1 = step(carry, x)
+                outs = (
+                    d1 if record == "all" else None,
+                    self._gather_shared(d1) if want_shared else None,
+                )
+                return carry, outs
+
+            xs = None
+            if preds is not None:
+                xs = jnp.moveaxis(preds, 1, 0)  # scan over time axis
+            carry, (traj, shared) = jax.lax.scan(
+                body, (d0, dn, t0), xs, length=num_steps,
             )
-            return (d1, d0, tn + dt), outs
+            if traj is not None:
+                traj = jnp.moveaxis(traj, 0, 1)  # (P, T, DL)
+            if shared is not None:
+                shared = jnp.moveaxis(shared, 0, 1)  # (P, T, 3*S_max)
+            return (traj, shared), carry
+
+        if num_steps % save_every:
+            raise ValueError(
+                f"num_steps ({num_steps}) must be divisible by "
+                f"save_every ({save_every})"
+            )
+        num_blocks = num_steps // save_every
+
+        def block(carry, xs):
+            # first step of the block is the recorded one
+            x0 = None if xs is None else xs[0]
+            carry, d_first = step(carry, x0)
+            sh_first = self._gather_shared(d_first) if want_shared else None
+
+            def inner(c, x):
+                c, d1 = step(c, x)
+                return c, self._gather_shared(d1) if want_shared else None
+
+            xs_rest = None if xs is None else xs[1:]
+            carry, sh_rest = jax.lax.scan(
+                inner, carry, xs_rest, length=save_every - 1,
+            )
+            sh_block = (
+                jnp.concatenate([sh_first[None], sh_rest])
+                if want_shared
+                else None
+            )
+            return carry, (d_first if record == "all" else None, sh_block)
 
         xs = None
         if preds is not None:
-            xs = jnp.moveaxis(preds, 1, 0)  # scan over time axis
+            # (P, T, S3) -> (num_blocks, save_every, P, S3)
+            xs = jnp.moveaxis(preds, 1, 0).reshape(
+                num_blocks, save_every, *preds.shape[::2]
+            )
         carry, (traj, shared) = jax.lax.scan(
-            body, (d0, dn, jnp.asarray(t0, dtype=d0.dtype)), xs,
-            length=num_steps,
+            block, (d0, dn, t0), xs, length=num_blocks,
         )
         if traj is not None:
-            traj = jnp.moveaxis(traj, 0, 1)  # (P, T, DL)
+            traj = jnp.moveaxis(traj, 0, 1)  # (P, T//save_every, DL)
         if shared is not None:
-            shared = jnp.moveaxis(shared, 0, 1)  # (P, T, 3*S_max)
+            # (num_blocks, save_every, P, S3) -> (P, T, S3)
+            shared = jnp.moveaxis(
+                shared.reshape(num_steps, *shared.shape[2:]), 0, 1
+            )
         return (traj, shared), carry
 
 
@@ -537,16 +599,79 @@ class ShardedSolver:
         )
 
     def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
-            record="all"):
+            record="all", save_every=1):
         data = self._data()
-        key = (num_steps, sync, record, preds is None)
+        key = (num_steps, sync, record, preds is None, save_every)
         fn = self._cache.get(key)
         if fn is None:
-            fn = self._build(num_steps, sync, record, preds is None)
+            fn = self._build(num_steps, sync, record, preds is None,
+                             save_every)
             self._cache[key] = fn
         return fn(data, d0, dn, jnp.asarray(t0), preds)
 
-    def _build(self, num_steps, sync, record, no_preds):
+    def run_streamed(
+        self,
+        d0,
+        dn,
+        t0,
+        num_steps,
+        *,
+        sync=True,
+        preds=None,
+        record="all",
+        save_every=1,
+        chunk_steps: Optional[int] = None,
+        host_traj_budget_bytes: int = 1 << 28,
+    ):
+        """Like :meth:`run`, but the trajectory is offloaded to host in
+        chunks so device memory is O(P * chunk/save_every * DL) instead of
+        O(P * T/save_every * DL). Returns ((traj, shared), carry) with the
+        recorded arrays as host numpy. ``chunk_steps`` defaults to however
+        many steps keep the on-device trajectory chunk under
+        ``host_traj_budget_bytes`` (rounded to a multiple of save_every)."""
+        if num_steps % save_every:
+            raise ValueError("num_steps must be divisible by save_every")
+        if chunk_steps is None:
+            itemsize = np.dtype(self.sp.lM.dtype).itemsize
+            row_bytes = self.sp.n_parts * self.sp.DL * itemsize
+            rows = max(1, int(host_traj_budget_bytes // max(row_bytes, 1)))
+            chunk_steps = min(num_steps, rows * save_every)
+        chunk_steps -= chunk_steps % save_every
+        chunk_steps = max(chunk_steps, save_every)
+
+        P_, S3 = self.sp.n_parts, self.sp.sld.shape[1]
+        n_rec = num_steps // save_every
+        dtype = np.dtype(self.sp.lM.dtype)
+        traj_h = (
+            np.empty((P_, n_rec, self.sp.DL), dtype=dtype)
+            if record == "all"
+            else None
+        )
+        shared_h = (
+            np.empty((P_, num_steps, S3), dtype=dtype)
+            if record in ("all", "shared")
+            else None
+        )
+
+        carry = (d0, dn, jnp.asarray(t0))
+        done = 0
+        while done < num_steps:
+            n = min(chunk_steps, num_steps - done)
+            pc = None if preds is None else preds[:, done : done + n]
+            d0c, dnc, tc = carry
+            (traj_c, shared_c), carry = self.run(
+                d0c, dnc, tc, n,
+                sync=sync, preds=pc, record=record, save_every=save_every,
+            )
+            if traj_h is not None:
+                lo = done // save_every
+                traj_h[:, lo : lo + n // save_every] = np.asarray(traj_c)
+            if shared_h is not None:
+                shared_h[:, done : done + n] = np.asarray(shared_c)
+            done += n
+        return (traj_h, shared_h), carry
+
+    def _build(self, num_steps, sync, record, no_preds, save_every=1):
         if self.mesh is None:
 
             def stacked(data, d0, dn, t0, preds):
@@ -554,6 +679,7 @@ class ShardedSolver:
                 return lsp.stacked_run(
                     d0, dn, t0, num_steps,
                     sync=sync, preds=preds, record=record,
+                    save_every=save_every,
                 )
 
             return jax.jit(stacked)
@@ -570,6 +696,7 @@ class ShardedSolver:
             return lsp.stacked_run(
                 d0, dn, t0, num_steps,
                 sync=sync, reduce_fn=reduce_fn, preds=preds, record=record,
+                save_every=save_every,
             )
 
         data_specs = {k: spec for k in self._data()}

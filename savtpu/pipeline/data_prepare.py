@@ -57,16 +57,21 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     d0 = sp.localize(prob.d0)
     dn = sp.localize(prob.dn)
     t_start = time.perf_counter()
-    (traj, _), carry = solver.run(d0, dn, 0.0, num_steps, sync=True,
-                                  record="all")
-    traj = np.asarray(traj)
+    if num_steps % save_every:
+        raise ValueError(
+            f"num_steps ({num_steps}) must be divisible by save_every "
+            f"({save_every})"
+        )
+    # in-scan save_every stride + chunked host offload: device memory for
+    # the history stays O(P * chunk * DL) however long the run is
+    (traj, _), carry = solver.run_streamed(
+        d0, dn, 0.0, num_steps, sync=True, record="all",
+        save_every=save_every,
+    )
     elapsed = time.perf_counter() - t_start
     if verbose:
         print(f"[data_prepare] {num_steps} steps in {elapsed:.2f}s "
               f"({num_steps/elapsed:.0f} steps/s)")
-
-    if save_every > 1:
-        traj = traj[:, ::save_every, :]
     for r in range(sp.n_parts):
         save_displacement(store.dynamics_h5(r), rank_trajectory(ctx, traj, r))
     return ctx

@@ -134,14 +134,24 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     # shared-DOF history (P, num_steps, 3*S_max) — feeds the predictor
     shared_hist = np.zeros((P, num_steps, S3))
 
+    # in-scan save_every stride when every scan segment length divides
+    # evenly (the reference schedule always does: n_sync = n_p*n_s and
+    # block = n_f*n_s); otherwise record full-res and stride on host.
+    se = cfg.solver.save_every
+    se_run = (
+        se
+        if (num_steps % se == 0 and n_sync % se == 0 and block % se == 0)
+        else 1
+    )
+
     t_start = time.perf_counter()
     d0 = sp.localize(prob.d0)
     dn = sp.localize(prob.dn)
-    (traj0, shared0), carry = solver.run(
-        d0, dn, 0.0, n_sync, sync=True, record="all"
+    (traj0, shared0), carry = solver.run_streamed(
+        d0, dn, 0.0, n_sync, sync=True, record="all", save_every=se_run
     )
-    shared_hist[:, :n_sync] = np.asarray(shared0)
-    trajs = [np.asarray(traj0)]
+    shared_hist[:, :n_sync] = shared0
+    trajs = [traj0]
 
     i = n_sync
     while i < num_steps:
@@ -161,7 +171,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             preds = jnp.asarray(blockpred[:, :n, :], dtype=state_dtype)
             d0c, dnc, tc = carry
             (traj_b, shared_b), carry = solver.run(
-                d0c, dnc, tc, n, sync=False, preds=preds
+                d0c, dnc, tc, n, sync=False, preds=preds,
+                save_every=se_run,
             )
             shared_hist[:, i : i + n] = np.asarray(shared_b)
             trajs.append(np.asarray(traj_b))
@@ -199,6 +210,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
         (traj_b, shared_b), carry = solver.run(
             d0c, dnc, tc, n,
             sync=False, preds=jnp.asarray(preds, dtype=state_dtype),
+            save_every=se_run,
         )
         shared_hist[:, i : i + n] = np.asarray(shared_b)
         trajs.append(np.asarray(traj_b))
@@ -213,9 +225,9 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             f"({num_steps/elapsed:.0f} steps/s)"
         )
 
-    traj = np.concatenate(trajs, axis=1)  # (P, T, DL)
-    if cfg.solver.save_every > 1:
-        traj = traj[:, :: cfg.solver.save_every, :]
+    traj = np.concatenate(trajs, axis=1)  # (P, T/se_run, DL)
+    if se_run == 1 and se > 1:
+        traj = traj[:, ::se, :]
     for r in range(P):
         save_displacement(store.modeled_h5(r), rank_trajectory(ctx, traj, r))
     return ctx

@@ -239,3 +239,95 @@ def test_rcm_reorder_maps_consistency():
                 w = max(w, max(loc) - min(loc))
             return w
         assert bandwidth(rc) <= bandwidth(maps)
+
+
+def test_save_every_in_scan_matches_post_stride():
+    """In-scan save_every blocking (VERDICT item 2): strided trajectory and
+    full-res shared trace must equal the save_every=1 run post-strided, in
+    both the vmap-emulated and shard_map backends, with and without preds."""
+    cfg, prob = _problem(8)
+    num_steps, se = 60, 5
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    solver = ShardedSolver(sp, mesh=None)
+
+    (traj1, shared1), carry1 = solver.run(d0, dnl, 0.0, num_steps, sync=True)
+    (trajS, sharedS), carryS = solver.run(
+        d0, dnl, 0.0, num_steps, sync=True, save_every=se
+    )
+    assert trajS.shape[1] == num_steps // se
+    assert np.allclose(np.asarray(traj1)[:, ::se], np.asarray(trajS),
+                       atol=1e-14)
+    assert np.allclose(np.asarray(shared1), np.asarray(sharedS), atol=1e-14)
+    for a, b in zip(carry1, carryS):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
+    # model path with preds fed in
+    preds = shared1
+    (trajM1, _), cM1 = solver.run(
+        d0, dnl, 0.0, num_steps, sync=False, preds=preds
+    )
+    (trajMS, _), cMS = solver.run(
+        d0, dnl, 0.0, num_steps, sync=False, preds=preds, save_every=se
+    )
+    assert np.allclose(np.asarray(trajM1)[:, ::se], np.asarray(trajMS),
+                       atol=1e-14)
+
+    # shard_map backend
+    if len(jax.devices()) >= 2:
+        mesh = make_device_mesh(2)
+        (trajD, sharedD), _ = ShardedSolver(sp, mesh=mesh).run(
+            d0, dnl, 0.0, num_steps, sync=True, save_every=se
+        )
+        assert np.allclose(np.asarray(trajD), np.asarray(trajS), atol=1e-12)
+        assert np.allclose(np.asarray(sharedD), np.asarray(sharedS),
+                           atol=1e-12)
+
+
+def test_run_streamed_matches_run():
+    """Chunked host offload: run_streamed must reproduce run exactly,
+    including across chunk boundaries and with save_every blocking."""
+    cfg, prob = _problem(8)
+    num_steps, se = 60, 3
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    solver = ShardedSolver(sp, mesh=None)
+
+    (traj, shared), carry = solver.run(
+        d0, dnl, 0.0, num_steps, sync=True, save_every=se
+    )
+    # chunk_steps=21 exercises rounding to a save_every multiple and a
+    # shorter final chunk
+    (trajS, sharedS), carryS = solver.run_streamed(
+        d0, dnl, 0.0, num_steps, sync=True, save_every=se, chunk_steps=21
+    )
+    assert isinstance(trajS, np.ndarray) and isinstance(sharedS, np.ndarray)
+    assert np.allclose(np.asarray(traj), trajS, atol=1e-14)
+    assert np.allclose(np.asarray(shared), sharedS, atol=1e-14)
+    for a, b in zip(carry, carryS):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
+    # preds split across chunks
+    (trajM, _), _ = solver.run(
+        d0, dnl, 0.0, num_steps, sync=False, preds=shared
+    )
+    (trajMS, _), _ = solver.run_streamed(
+        d0, dnl, 0.0, num_steps, sync=False, preds=shared, chunk_steps=24
+    )
+    assert np.allclose(np.asarray(trajM), trajMS, atol=1e-14)
