@@ -93,8 +93,12 @@ class SurrogateConfig:
     tf_ratio: float = 0.6               # initial teacher-forcing ratio
                                         # (Model_training.py:46), decays
                                         # 0.005/batch like the reference
-    stacked: bool = False  # train all shards' models in one vmapped pass
-                           # (features padded to the max shard width)
+    stacked: Optional[bool] = None  # train all shards' models in one
+                                    # vmapped pass (features padded to the
+                                    # max shard width). None = auto: True
+                                    # when n_parts > 1 (the fast path —
+                                    # one compiled program instead of one
+                                    # retrace per distinct rank width)
     input_noise: float = 0.0  # savtpu extension: stddev of Gaussian noise
                               # added to encoder inputs during training
                               # (scaled units) — robustifies the open-loop

@@ -329,9 +329,11 @@ def fit_stacked(
     Y = jnp.asarray(Y, dtype=dtype)
     feat_mask = jnp.asarray(feat_mask, dtype=dtype)
     Pn, G, _, Dmax = X.shape
-    bs = min(cfg.batch_size, G)
-    n_train = int(cfg.train_portion * G)
-    n_train -= n_train % bs or 0
+    # full batches only (the scan needs static shapes); clamp bs so tiny
+    # window counts still yield at least one batch
+    n_train = max(int(cfg.train_portion * G), 1)
+    bs = min(cfg.batch_size, n_train)
+    n_train -= n_train % bs
     steps_per_epoch = max(n_train // bs, 1)
 
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), Pn)

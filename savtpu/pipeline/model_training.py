@@ -20,18 +20,37 @@ from ..io.artifacts import ArtifactStore, load_displacement, save_params
 from ..models import fit, scale_to_zero_one, strided_windows, train_val_split
 
 
+def effective_filter(cfg: Config) -> int:
+    """Window stride in *stored-trace rows*. Stage 1 stores one row every
+    ``save_every`` steps, so striding the stored trace by
+    ``filter_size // save_every`` reads exactly the rows at step multiples
+    of filter_size — bit-identical training windows to a save_every=1 run
+    (the reference trains on data[::n_s], DNN_tools.py:291)."""
+    se = cfg.solver.save_every
+    n_s = cfg.surrogate.filter_size
+    if se > 1 and n_s % se:
+        raise ValueError(
+            f"surrogate.filter_size ({n_s}) must be a multiple of "
+            f"solver.save_every ({se}) so training windows land on stored "
+            f"rows"
+        )
+    return max(n_s // se, 1)
+
+
 def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     sur = cfg.surrogate
     n_parts = n_parts or cfg.partition.n_parts
-    if sur.stacked:
+    stacked = sur.stacked if sur.stacked is not None else n_parts > 1
+    if stacked:
         return _run_stacked(cfg, store, n_parts, verbose)
+    eff_filter = effective_filter(cfg)
     results = {}
     for r in range(n_parts):
         trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
         input_size = trace.shape[1]
         X, Y = strided_windows(
-            trace, sur.n_past, sur.n_future, sur.filter_size, sur.cut_off
+            trace, sur.n_past, sur.n_future, eff_filter, sur.cut_off
         )
         X, Y, smax, smin = scale_to_zero_one(X, Y)
         rng = np.random.default_rng(sur.seed + 17 * r)
@@ -97,6 +116,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
     from ..models.training import fit_stacked
 
     sur = cfg.surrogate
+    eff_filter = effective_filter(cfg)
     traces, dims = [], []
     for r in range(n_parts):
         tr = load_displacement(store.shared_dof_h5(r)).T  # (T, Dr)
@@ -107,7 +127,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
     Xs, Ys, smaxs, smins = [], [], [], []
     for tr in traces:
         X, Y = strided_windows(
-            tr, sur.n_past, sur.n_future, sur.filter_size, sur.cut_off
+            tr, sur.n_past, sur.n_future, eff_filter, sur.cut_off
         )
         smax = max(float(X.max()), float(Y.max()))
         smin = min(float(X.min()), float(Y.min()))
@@ -163,7 +183,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
                 "scale_max": smaxs[r],
                 "scale_min": smins[r],
                 "final_train_loss": hist_r["train_loss"][-1],
-                "final_val_r2": None,
+                "final_val_r2": hist_r["val_r2"][-1],
             },
         )
         results[r] = (params_r, hist_r)

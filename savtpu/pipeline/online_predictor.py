@@ -65,9 +65,12 @@ def load_rank_models(ctx: StageContext):
 
         # recompute the scaling constants from the stored trace, like the
         # reference; cross-check against the sidecar values.
+        from .model_training import effective_filter
+
         trace = load_displacement(ctx.store.shared_dof_h5(r)).T
         X, Y = strided_windows(
-            trace, sur.n_past, sur.n_future, sur.filter_size, sur.cut_off
+            trace, sur.n_past, sur.n_future, effective_filter(ctx.cfg),
+            sur.cut_off,
         )
         _, _, smax, smin = scale_to_zero_one(X, Y)
         if not np.isclose(smax, meta["scale_max"], rtol=1e-10) or not (

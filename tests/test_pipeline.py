@@ -131,3 +131,31 @@ def test_stage1_under_device_mesh(tmp_path):
             ArtifactStore(cfg2.workdir, cfg2.model_dir, "x").dynamics_h5(r)
         )
         assert np.allclose(a, b, atol=1e-12)
+
+
+def test_effective_filter_matches_full_resolution_windows():
+    """Storing 1 row every save_every steps and striding the stored trace
+    by filter_size // save_every must reproduce the exact training windows
+    of a save_every=1 run (they both read steps at multiples of
+    filter_size)."""
+    from savtpu.models import strided_windows
+    from savtpu.pipeline.model_training import effective_filter
+
+    rng = np.random.default_rng(3)
+    T, D, se, n_s = 1000, 6, 5, 20
+    full = rng.normal(size=(T, D))
+    stored = full[::se]
+
+    cfg = Config()
+    cfg.solver.save_every = se
+    cfg.surrogate.filter_size = n_s
+    eff = effective_filter(cfg)
+    assert eff == n_s // se
+
+    Xf, Yf = strided_windows(full, 4, 4, n_s, cut_off=0.5)
+    Xs, Ys = strided_windows(stored, 4, 4, eff, cut_off=0.5)
+    assert np.array_equal(Xf, Xs) and np.array_equal(Yf, Ys)
+
+    cfg.surrogate.filter_size = 7  # not a multiple of save_every
+    with pytest.raises(ValueError, match="multiple"):
+        effective_filter(cfg)
