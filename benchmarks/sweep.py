@@ -79,9 +79,12 @@ def bench_case(nx, ny, nz, n_parts, mode, steps):
 CASES = [
     # (nx, ny, nz, parts, mode, steps)
     (25, 1, 1, 2, "dense", 20000),     # the reference benchmark problem
+    (25, 1, 1, 2, "pallas", 20000),    # whole-scan kernel, K VMEM-resident
     (48, 4, 4, 8, "dense", 5000),
+    (48, 4, 4, 8, "pallas", 5000),
     (96, 8, 8, 8, "dense", 2000),
     (96, 8, 8, 8, "banded", 2000),
+    (96, 8, 8, 8, "pallas", 2000),
     (96, 8, 8, 64, "dense", 2000),
     (96, 8, 8, 64, "ell", 2000),
     (192, 12, 12, 64, "banded", 1000),

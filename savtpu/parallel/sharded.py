@@ -171,6 +171,9 @@ class ShardedProblem:
     smask: jnp.ndarray           # (P, 3*S_max) 1 on real shared slots
     fint_mode: str = "dense"
     maps: Optional[PartitionMaps] = None
+    # one-hot shared-DOF selectors (fint_mode == 'pallas'): (P, 3*S_max, DL)
+    # rows are e_sld[p,s]*smask[p,s] — gather/scatter as MXU matmuls
+    shared_onehot: Optional[jnp.ndarray] = None
     # ELL node-block SpMV arrays (fint_mode == 'ell'):
     ell_blocks: Optional[jnp.ndarray] = None  # (P, L_max, C_max, 3, 3)
     ell_cols: Optional[jnp.ndarray] = None    # (P, L_max, C_max) node col
@@ -189,6 +192,12 @@ class ShardedProblem:
         fint_mode: str = "auto",
         dtype=None,
     ) -> "ShardedProblem":
+        valid_modes = {"auto", "dense", "banded", "ell", "ebe", "pallas"}
+        if fint_mode not in valid_modes:
+            raise ValueError(
+                f"unknown fint_mode {fint_mode!r}; expected one of "
+                f"{sorted(valid_modes)}"
+            )
         if fint_mode == "auto":
             # measured on v5e: dense fastest for small local blocks,
             # block-tridiagonal banded (RCM) fastest beyond
@@ -205,6 +214,12 @@ class ShardedProblem:
         dtype = dtype or prob.lumped_M.dtype
         L_max = maps.max_local_nodes
         DL = 3 * L_max + 1
+        if fint_mode == "pallas":
+            # pad the local DOF axis to the kernel tile so the matvec grid
+            # divides evenly; extra slots are inert (mask 0, lM 1, K 0)
+            from ..ops.pallas_step import pad_dl
+
+            DL = pad_dl(DL)
         S_max = max(maps.max_shared, 1)
         SG = max(len(maps.global_shared), 1)
         SD = 3 * SG
@@ -274,7 +289,8 @@ class ShardedProblem:
             band_Kd, band_Kl, _, _ = _build_banded(
                 npn, 3 * L_max, edofs, Ke, dtype
             )
-        if fint_mode == "dense":
+        shared_onehot = None
+        if fint_mode in ("dense", "pallas"):
             dk = np.zeros((npn, DL, DL), dtype=np.float64)
             for p in range(npn):
                 np.add.at(
@@ -285,8 +301,15 @@ class ShardedProblem:
             dk[:, DL - 1, :] = 0.0
             dk[:, :, DL - 1] = 0.0
             denseK = jnp.asarray(dk, dtype=dtype)
+        if fint_mode == "pallas":
+            oh = np.zeros((npn, 3 * S_max, DL), dtype=np.float64)
+            for p in range(npn):
+                s = np.arange(3 * S_max)
+                oh[p, s, sld[p]] = smask[p]
+            shared_onehot = jnp.asarray(oh, dtype=dtype)
 
         return cls(
+            shared_onehot=shared_onehot,
             ell_blocks=ell_blocks,
             ell_cols=ell_cols,
             band_Kd=band_Kd,
@@ -342,6 +365,11 @@ class ShardedProblem:
             # NB: vmapped jnp.dot — jnp.einsum('pij,pj->pi') lowers to a
             # catastrophically slow kernel on TPU (measured 30x slower)
             return jax.vmap(jnp.dot)(self.denseK, d)
+
+        if self.fint_mode == "pallas":
+            from ..ops.pallas_step import batched_fint_matvec
+
+            return batched_fint_matvec(self.denseK, d)
 
         if self.fint_mode == "banded":
             # block-tridiagonal matvec (RCM-ordered local DOFs): three
@@ -572,12 +600,17 @@ class ShardedSolver:
                     f"device keep the local dense blocks small)"
                 )
 
+    # measured ceiling for the whole-scan kernel's resident set (v5e has
+    # 128 MiB VMEM; leave room for Mosaic's double buffers and temps)
+    _PALLAS_VMEM_LIMIT = 96 * 2**20
+
     _DATA_FIELDS = (
         "dof_mask", "bc_mask", "lM", "F_pre", "edofs", "Ke",
         "sld", "sgi", "smask",
     )
 
-    _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl")
+    _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
+                   "shared_onehot")
 
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so
@@ -598,8 +631,43 @@ class ShardedSolver:
             **{k: data[k] for k in self._DATA_FIELDS},
         )
 
+    def _pallas_scan_ok(self, sync, record, save_every, num_steps):
+        """Whole-scan VMEM-resident kernel applies: single-device comm-free
+        stepping with at most shared-trace recording, and everything the
+        kernel keeps on-chip fits comfortably in VMEM."""
+        sp = self.sp
+        if (
+            self.mesh is not None
+            or sync
+            or sp.fint_mode != "pallas"
+            or record not in ("none", "shared")
+            or save_every != 1
+        ):
+            return False
+        from ..ops.pallas_step import scan_vmem_bytes
+
+        itemsize = np.dtype(sp.lM.dtype).itemsize
+        S3 = sp.sld.shape[1]
+        T_rec = num_steps if record == "shared" else 1
+        vmem = scan_vmem_bytes(
+            sp.n_parts, sp.DL, S3, T_rec, T_rec, itemsize
+        )
+        return vmem < self._PALLAS_VMEM_LIMIT
+
     def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
             record="all", save_every=1):
+        if self._pallas_scan_ok(sync, record, save_every, num_steps):
+            from ..ops.pallas_step import pallas_scan_comm_free
+
+            sp = self.sp
+            d0f, dnf, tf, shared = pallas_scan_comm_free(
+                sp.denseK, d0, dn, jnp.asarray(t0, d0.dtype),
+                sp.F_pre, sp.lM, sp.bc_mask, sp.shared_onehot,
+                None if preds is None else jnp.asarray(preds, d0.dtype),
+                num_steps=num_steps, dt=sp.dt, alpha=sp.alpha,
+                ramped=sp.ramped, record_shared=record == "shared",
+            )
+            return (None, shared), (d0f, dnf, tf)
         data = self._data()
         key = (num_steps, sync, record, preds is None, save_every)
         fn = self._cache.get(key)

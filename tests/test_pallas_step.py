@@ -1,44 +1,125 @@
-"""Pallas fused-step kernel vs the XLA reference formula (interpreter mode
-on CPU; the compiled path is exercised by bench.py on TPU)."""
+"""Pallas kernel equivalence (interpret mode on CPU; compiled numbers come
+from benchmarks/sweep.py on TPU).
+
+Oracles: the dense vmapped matvec for batched_fint_matvec, and the lax.scan
+dense stepper for the VMEM-resident whole-scan kernel — both already
+validated against the serial/NumPy oracles in test_sharded.py.
+"""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
+from savtpu.config import Config
+from savtpu.mesh import dirichlet_nodes
 from savtpu.ops import pallas_step
+from savtpu.parallel import (
+    ShardedProblem,
+    build_partition_maps,
+    partition_elements,
+)
+from savtpu.parallel.sharded import ShardedSolver
+from savtpu.solvers import setup_problem
 
 
-def test_fused_dense_step_interpret_matches_formula(monkeypatch):
-    import jax.experimental.pallas as pl
+def _sharded(n_parts=2, nx=8, fint_mode="pallas"):
+    cfg = Config()
+    cfg.beam_cells = (nx, 1, 1)
+    cfg.beam_extent = (float(nx), 1.0, 1.0)
+    prob = setup_problem(cfg)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, n_parts, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode=fint_mode)
+    return prob, maps, sp
 
-    orig = pl.pallas_call
 
-    def interp(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
+def test_unknown_fint_mode_rejected():
+    prob, maps, _ = _sharded(2, 8, "dense")
+    with pytest.raises(ValueError, match="unknown fint_mode"):
+        ShardedProblem.build(prob, maps, fint_mode="palas")  # typo
 
-    monkeypatch.setattr(pl, "pallas_call", interp)
-    monkeypatch.setattr(pallas_step.pl, "pallas_call", interp)
 
-    DL = pallas_step.TILE * 2
+def test_pallas_padding_and_matvec_matches_dense():
+    prob, maps, spp = _sharded(2, 8, "pallas")
+    _, _, spd = _sharded(2, 8, "dense")
+    assert spp.DL % pallas_step.TILE == 0
     rng = np.random.default_rng(0)
-    K = jnp.asarray(rng.normal(size=(DL, DL)).astype(np.float32))
-    d0, dn, Fp, lM, bc = (
-        jnp.asarray(rng.normal(size=(DL,)).astype(np.float32))
-        for _ in range(5)
-    )
-    lM = jnp.abs(lM) + 1.0
-    dt, alpha, ramp = 2.5e-4, 0.5, 0.7
+    d = np.zeros((spp.n_parts, spp.DL))
+    d[:, : spd.DL] = rng.normal(size=(spd.n_parts, spd.DL))
+    d[:, spd.DL - 1] = 0.0  # dummy slot
+    d = d * np.asarray(spp.dof_mask)
+    fp = np.asarray(spp._fint_stacked(jnp.asarray(d)))
+    fd = np.asarray(spd._fint_stacked(jnp.asarray(d[:, : spd.DL])))
+    assert np.allclose(fp[:, : spd.DL], fd, atol=1e-12)
+    assert np.allclose(fp[:, spd.DL :], 0.0)
 
-    out = pallas_step.fused_dense_step(
-        K, d0, dn, Fp, lM, bc, jnp.float32(ramp), dt, alpha
+
+def test_pallas_exchanged_run_matches_dense():
+    """fint_mode='pallas' as a full _fint_stacked branch: the exchanged
+    (psum-semantics) run must match the dense run on the real slots."""
+    prob, maps, spp = _sharded(2, 8, "pallas")
+    _, _, spd = _sharded(2, 8, "dense")
+    num_steps = 40
+    sol_p = ShardedSolver(spp, mesh=None)
+    sol_d = ShardedSolver(spd, mesh=None)
+    (tp, _), _ = sol_p.run(
+        spp.localize(prob.d0), spp.localize(prob.dn), 0.0, num_steps,
+        sync=True,
     )
-    f_int = K @ d0
-    ref = (
-        dt * dt * (Fp * ramp - f_int)
-        + 2 * lM * d0
-        - lM * dn
-        + 0.5 * dt * alpha * lM * dn
-    ) / (lM + 0.5 * alpha * dt * lM) * bc
-    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    (td, _), _ = sol_d.run(
+        spd.localize(prob.d0), spd.localize(prob.dn), 0.0, num_steps,
+        sync=True,
+    )
+    assert np.allclose(
+        np.asarray(tp)[:, :, : spd.DL], np.asarray(td), atol=1e-12
+    )
+
+
+def test_pallas_whole_scan_kernel_matches_scan():
+    """The VMEM-resident whole-scan kernel must reproduce the lax.scan
+    comm-free path: final carry, shared trace, and the NN-overwrite
+    (one-hot scatter) semantics."""
+    prob, maps, spp = _sharded(2, 8, "pallas")
+    num_steps = 30
+    solver = ShardedSolver(spp, mesh=None)
+    d0 = spp.localize(prob.d0)
+    dn = spp.localize(prob.dn)
+
+    # oracle: force the scan path by asking for record="all"
+    (traj, shared_scan), carry_scan = solver.run(
+        d0, dn, 0.0, num_steps, sync=False, record="all"
+    )
+
+    assert solver._pallas_scan_ok(False, "shared", 1, num_steps)
+    (traj_k, shared_k), carry_k = solver.run(
+        d0, dn, 0.0, num_steps, sync=False, record="shared"
+    )
+    assert traj_k is None
+    assert np.allclose(
+        np.asarray(shared_k), np.asarray(shared_scan), atol=1e-12
+    )
+    for a, b in zip(carry_scan, carry_k):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    # with preds: feeding the exchanged run's true shared rows must
+    # reproduce the exchanged trajectory (perfect-prediction identity)
+    (_, shared_true), _ = solver.run(d0, dn, 0.0, num_steps, sync=True,
+                                     record="shared")
+    (_, shared_pred_k), carry_pk = solver.run(
+        d0, dn, 0.0, num_steps, sync=False, preds=shared_true,
+        record="shared",
+    )
+    (_, shared_pred_s), carry_ps = solver.run(
+        d0, dn, 0.0, num_steps, sync=False, preds=shared_true,
+        record="all",
+    )
+    assert np.allclose(
+        np.asarray(shared_pred_k), np.asarray(shared_pred_s), atol=1e-12
+    )
+    for a, b in zip(carry_pk, carry_ps):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
