@@ -52,7 +52,11 @@ class SolverConfig:
     save_every: int = 1       # trajectory save stride
     deg: int = 1              # polynomial order (P1 tets; P2 steady-only)
     n_quad: int = 2           # quadrature accuracy key (2 -> 4-pt rule)
-    fint_mode: str = "auto"   # "dense" | "ebe" | "bcoo" | "pallas" | "auto"
+    fint_mode: str = "auto"   # "dense" | "banded" | "ell" | "ebe" |
+                              # "pallas" | "auto"
+    exchange_mode: str = "psum"  # halo exchange: "psum" (global shared
+                                 # all-reduce) | "permute" (neighbor-packed
+                                 # collective_permute rounds)
     dtype: str = "float64"    # state dtype for the time loop
 
 

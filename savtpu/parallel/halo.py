@@ -111,6 +111,89 @@ def build_partition_maps(
     )
 
 
+@dataclass
+class NeighborExchange:
+    """Neighbor-packed halo schedule (SURVEY.md §2.5 `collective_permute`
+    plan). Replaces the O(3*|global shared|) per-step psum with R rounds of
+    point-to-point permutes moving only each pair's interface DOFs —
+    O(boundary) volume, like a classic FEM halo exchange, vs the
+    reference's O(P * 3N_global) root gather/bcast
+    (Tools/Distributed_tools.py:77-93).
+
+    Round r is one `lax.ppermute` with static pairs[r]; greedy edge
+    coloring of the part-adjacency graph guarantees each part sends to and
+    receives from at most one partner per round (R <= max degree + 1).
+    pack/unpack indices address the part's padded local DOF vector; padded
+    buffer slots point at the dummy DOF and carry mask 0.
+    """
+
+    n_rounds: int
+    buf_len: int                 # 3 * max pairwise interface size
+    pack_idx: np.ndarray         # (P, R, B) local DOF to send (pad DL-1)
+    unpack_idx: np.ndarray       # (P, R, B) local DOF to add into
+    mask: np.ndarray             # (P, R, B) 1 on real slots
+    src_of: np.ndarray           # (P, R) partner part id, -1 if idle
+    pairs: list                  # per round: [(src, dst), ...] for ppermute
+
+
+def build_neighbor_exchange(maps: PartitionMaps, DL: int) -> NeighborExchange:
+    """Pairwise interface discovery + greedy edge coloring.
+
+    For parts p < q the interface is local_nodes[p] & local_nodes[q],
+    ordered by global node id so both sides pack/unpack consistently.
+    Summing every partner's contribution reproduces the psum exchange:
+    a node owned by k parts rides k-1 edges at each owner, so every owner
+    accumulates all k contributions (order may differ per part — equal up
+    to floating-point rounding)."""
+    P = maps.n_parts
+    node_sets = [set(ln.tolist()) for ln in maps.local_nodes]
+    edges = []  # (p, q, sorted interface nodes)
+    for p in range(P):
+        for q in range(p + 1, P):
+            inter = node_sets[p] & node_sets[q]
+            if inter:
+                edges.append((p, q, np.array(sorted(inter), dtype=np.int64)))
+
+    # greedy edge coloring: smallest color free at both endpoints
+    used = [set() for _ in range(P)]
+    colors = []
+    for p, q, _ in edges:
+        c = 0
+        while c in used[p] or c in used[q]:
+            c += 1
+        used[p].add(c)
+        used[q].add(c)
+        colors.append(c)
+    R = max(colors, default=-1) + 1
+    B = max((3 * len(e[2]) for e in edges), default=1)
+
+    pack_idx = np.full((P, max(R, 1), B), DL - 1, dtype=np.int32)
+    unpack_idx = np.full((P, max(R, 1), B), DL - 1, dtype=np.int32)
+    mask = np.zeros((P, max(R, 1), B), dtype=np.float64)
+    src_of = np.full((P, max(R, 1)), -1, dtype=np.int32)
+    pairs: list = [[] for _ in range(max(R, 1))]
+
+    for (p, q, inter), c in zip(edges, colors):
+        for a, b in ((p, q), (q, p)):
+            loc = maps.local_index_of(a, inter)
+            dofs = (3 * loc[:, None] + np.arange(3)).reshape(-1)
+            pack_idx[a, c, : len(dofs)] = dofs
+            unpack_idx[a, c, : len(dofs)] = dofs
+            mask[a, c, : len(dofs)] = 1.0
+            src_of[a, c] = b
+            pairs[c].append((a, b))
+
+    return NeighborExchange(
+        n_rounds=max(R, 1),
+        buf_len=B,
+        pack_idx=pack_idx,
+        unpack_idx=unpack_idx,
+        mask=mask,
+        src_of=src_of,
+        pairs=[tuple(sorted(pr)) for pr in pairs],
+    )
+
+
 def rcm_reorder_maps(maps: PartitionMaps, cells: np.ndarray) -> PartitionMaps:
     """Reverse-Cuthill-McKee reorder of each part's local node list.
 

@@ -174,6 +174,13 @@ class ShardedProblem:
     # one-hot shared-DOF selectors (fint_mode == 'pallas'): (P, 3*S_max, DL)
     # rows are e_sld[p,s]*smask[p,s] — gather/scatter as MXU matmuls
     shared_onehot: Optional[jnp.ndarray] = None
+    # neighbor-packed halo exchange (exchange_mode == 'permute'):
+    exchange_mode: str = "psum"   # "psum" | "permute"
+    nx_pack: Optional[jnp.ndarray] = None    # (P, R, B) send DOF ids
+    nx_unpack: Optional[jnp.ndarray] = None  # (P, R, B) add-into DOF ids
+    nx_mask: Optional[jnp.ndarray] = None    # (P, R, B) 1 on real slots
+    nx_src: Optional[jnp.ndarray] = None     # (P, R) partner id, -1 idle
+    nx_pairs: Optional[list] = None          # per round ppermute pairs
     # ELL node-block SpMV arrays (fint_mode == 'ell'):
     ell_blocks: Optional[jnp.ndarray] = None  # (P, L_max, C_max, 3, 3)
     ell_cols: Optional[jnp.ndarray] = None    # (P, L_max, C_max) node col
@@ -191,12 +198,18 @@ class ShardedProblem:
         maps: PartitionMaps,
         fint_mode: str = "auto",
         dtype=None,
+        exchange_mode: str = "psum",
     ) -> "ShardedProblem":
         valid_modes = {"auto", "dense", "banded", "ell", "ebe", "pallas"}
         if fint_mode not in valid_modes:
             raise ValueError(
                 f"unknown fint_mode {fint_mode!r}; expected one of "
                 f"{sorted(valid_modes)}"
+            )
+        if exchange_mode not in ("psum", "permute"):
+            raise ValueError(
+                f"unknown exchange_mode {exchange_mode!r}; expected "
+                f"'psum' or 'permute'"
             )
         if fint_mode == "auto":
             # measured on v5e: dense fastest for small local blocks,
@@ -308,7 +321,22 @@ class ShardedProblem:
                 oh[p, s, sld[p]] = smask[p]
             shared_onehot = jnp.asarray(oh, dtype=dtype)
 
+        nx_kwargs = {}
+        if exchange_mode == "permute":
+            from .halo import build_neighbor_exchange
+
+            nx = build_neighbor_exchange(maps, DL)
+            nx_kwargs = dict(
+                nx_pack=jnp.asarray(nx.pack_idx),
+                nx_unpack=jnp.asarray(nx.unpack_idx),
+                nx_mask=jnp.asarray(nx.mask, dtype=dtype),
+                nx_src=jnp.asarray(nx.src_of),
+                nx_pairs=nx.pairs,
+            )
+
         return cls(
+            exchange_mode=exchange_mode,
+            **nx_kwargs,
             shared_onehot=shared_onehot,
             ell_blocks=ell_blocks,
             ell_cols=ell_cols,
@@ -446,6 +474,30 @@ class ShardedProblem:
 
         return jax.vmap(setback)(F_int, self.sld, self.sgi)
 
+    def _emulated_permute(self, buf, r):
+        """Single-device stand-in for lax.ppermute on the part axis:
+        part p receives round r's buffer from its partner (or zeros)."""
+        src = self.nx_src[:, r]
+        gathered = buf[jnp.clip(src, 0)]
+        return jnp.where((src >= 0)[:, None], gathered, 0.0)
+
+    def _exchange_permute(self, F_int, permute_fn):
+        """Neighbor-packed halo: R rounds of point-to-point permutes of
+        each pair's interface DOFs (SURVEY.md §2.5), summing every
+        partner's contribution — same semantics as the psum exchange with
+        O(boundary) volume instead of O(3*|global shared|)."""
+        out = F_int
+        for r in range(self.nx_pack.shape[1]):
+            buf = (
+                jnp.take_along_axis(F_int, self.nx_pack[:, r, :], axis=1)
+                * self.nx_mask[:, r, :]
+            )
+            recv = permute_fn(buf, r)
+            out = jax.vmap(lambda o, ui, rv: o.at[ui].add(rv))(
+                out, self.nx_unpack[:, r, :], recv * self.nx_mask[:, r, :]
+            )
+        return out
+
     def _update(self, d0, dn, tn, F_int):
         dt, alpha = self.dt, self.alpha
         ramp = (
@@ -482,6 +534,7 @@ class ShardedProblem:
         *,
         sync: bool,
         reduce_fn: Callable = lambda x: x,
+        permute_fn: Optional[Callable] = None,
         preds=None,              # (P, num_steps, 3*S_max) if not sync
         record: str = "all",     # "all" | "shared" | "none"
         save_every: int = 1,
@@ -502,7 +555,12 @@ class ShardedProblem:
             d0, dn, tn = carry
             F_int = self._fint_stacked(d0)
             if sync:
-                F_int = self._exchange(F_int, reduce_fn)
+                if self.exchange_mode == "permute":
+                    F_int = self._exchange_permute(
+                        F_int, permute_fn or self._emulated_permute
+                    )
+                else:
+                    F_int = self._exchange(F_int, reduce_fn)
             d1 = self._update(d0, dn, tn, F_int)
             if x is not None:
                 d1 = self._scatter_pred(d1, x)
@@ -599,6 +657,13 @@ class ShardedSolver:
                     f"{sp.n_parts} must be a multiple (several parts per "
                     f"device keep the local dense blocks small)"
                 )
+            if sp.exchange_mode == "permute" and sp.n_parts != n_dev:
+                raise ValueError(
+                    "exchange_mode='permute' permutes on the device axis "
+                    f"and needs one part per device ({sp.n_parts} parts, "
+                    f"{n_dev} devices); use exchange_mode='psum' for "
+                    "multiple parts per device"
+                )
 
     # measured ceiling for the whole-scan kernel's resident set (v5e has
     # 128 MiB VMEM; leave room for Mosaic's double buffers and temps)
@@ -610,7 +675,8 @@ class ShardedSolver:
     )
 
     _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
-                   "shared_onehot")
+                   "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
+                   "nx_src")
 
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so
@@ -756,15 +822,22 @@ class ShardedSolver:
         spec = P(AXIS)
         pred_spec = None if no_preds else P(AXIS)
 
+        pairs = self.sp.nx_pairs
+
         def local_run(data, d0, dn, t0, preds):
             lsp = self._local_view(data)
             reduce_fn = (
                 (lambda x: jax.lax.psum(x, AXIS)) if sync else (lambda x: x)
             )
+            permute_fn = (
+                (lambda buf, r: jax.lax.ppermute(buf, AXIS, perm=pairs[r]))
+                if sync and self.sp.exchange_mode == "permute"
+                else None
+            )
             return lsp.stacked_run(
                 d0, dn, t0, num_steps,
-                sync=sync, reduce_fn=reduce_fn, preds=preds, record=record,
-                save_every=save_every,
+                sync=sync, reduce_fn=reduce_fn, permute_fn=permute_fn,
+                preds=preds, record=record, save_every=save_every,
             )
 
         data_specs = {k: spec for k in self._data()}

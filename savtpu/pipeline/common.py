@@ -59,7 +59,8 @@ def build_context(
         prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
     )
     sp = ShardedProblem.build(
-        prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype
+        prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype,
+        exchange_mode=cfg.solver.exchange_mode,
     )
     solver = ShardedSolver(sp, mesh=device_mesh)
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
