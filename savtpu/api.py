@@ -92,21 +92,15 @@ class Simulation:
         return self.ctx.solver
 
     def steady(self):
-        """Steady displacement vector (K d = F with the clamped face)."""
-        import dataclasses as dc
-
+        """Steady displacement vector (K d = F with the clamped face).
+        Supports deg=1 and the steady-only deg=2 path (which has no
+        sharded context)."""
         import numpy as np
 
-        from .ops.element import batch_element_mkf
-        from .solvers.steady import steady_solve
+        from .solvers import setup_problem, steady_displacement
 
-        prob = self.ctx.prob
-        mat = dc.replace(prob.material, ramped=False)
-        _, _, Fe = batch_element_mkf(
-            prob.deg, prob.n_quad, mat, 0.0, prob.coords
-        )
-        return np.asarray(
-            steady_solve(
-                prob.Ke, Fe, prob.edofs, prob.ndof, prob.dirichlet_dofs
-            )
-        )
+        if self.cfg.solver.deg == 2:
+            prob = setup_problem(self.cfg)
+        else:
+            prob = self.ctx.prob
+        return np.asarray(steady_displacement(prob))

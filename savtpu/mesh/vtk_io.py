@@ -96,18 +96,42 @@ def read_vtk(path: str | Path) -> Mesh:
 
 
 def _tokenize(path: str | Path) -> list:
+    """Tokenize the body of a legacy VTK file.
+
+    The legacy header is LINE-structured (version comment, then one
+    free-text title line, then the ASCII/BINARY marker, then the DATASET
+    line), so it is parsed line by line here — the title line is skipped
+    verbatim no matter what it contains (it may legally hold numbers or
+    keywords, which a token-soup heuristic would mis-parse)."""
+    lines = Path(path).read_text().splitlines()
+    i = 0
+    while i < len(lines) and not lines[i].strip():
+        i += 1
+    if i < len(lines) and lines[i].lstrip().startswith("#"):
+        i += 1  # '# vtk DataFile Version x.x'
+        while i < len(lines) and not lines[i].strip():
+            i += 1
+        i += 1  # the title line, skipped verbatim
+
     toks: list = []
-    skip_keywords = {"ASCII", "DATASET", "UNSTRUCTURED_GRID"}
-    with open(path, "r") as fh:
-        for line in fh:
-            s = line.strip()
-            if not s or s.startswith("#") or s.startswith("//"):
-                continue
-            if s.split()[0] in skip_keywords and len(toks) < 8:
-                continue
-            # header title line ("beam_US, Created by Gmsh") may contain text;
-            # tokens that can't be parsed are kept — parser skips unknowns.
-            toks.extend(s.split())
+    for line in lines[i:]:
+        s = line.strip()
+        if not s or s.startswith("#") or s.startswith("//"):
+            continue
+        first = s.split()[0].upper()
+        if first in ("ASCII", "BINARY"):
+            if first == "BINARY":
+                raise ValueError(f"{path}: binary legacy VTK not supported")
+            continue
+        if first == "DATASET":
+            kind = s.split()[1].upper() if len(s.split()) > 1 else ""
+            if kind != "UNSTRUCTURED_GRID":
+                raise ValueError(
+                    f"{path}: unsupported DATASET {kind or '<missing>'}; "
+                    f"only UNSTRUCTURED_GRID is supported"
+                )
+            continue
+        toks.extend(s.split())
     return toks
 
 

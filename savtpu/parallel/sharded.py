@@ -211,6 +211,11 @@ class ShardedProblem:
                 f"unknown exchange_mode {exchange_mode!r}; expected "
                 f"'psum' or 'permute'"
             )
+        if prob.deg != 1:
+            raise NotImplementedError(
+                "the distributed dynamic path is P1-only; deg=2 is "
+                "steady-only, like the reference (Data_prepare.py:42)"
+            )
         if fint_mode == "auto":
             # measured on v5e: dense fastest for small local blocks,
             # block-tridiagonal banded (RCM) fastest beyond

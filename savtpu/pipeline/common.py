@@ -41,6 +41,12 @@ def build_context(
     device_mesh=None,
     dtype=jnp.float64,
 ) -> StageContext:
+    if cfg.solver.deg != 1:
+        raise NotImplementedError(
+            "the distributed dynamic pipeline is P1-only; deg=2 is "
+            "steady-only, like the reference (Data_prepare.py:42) — use "
+            "savtpu.pipeline.data_prepare.run or api.Simulation.steady()"
+        )
     prob = setup_problem(cfg, mesh=mesh, dtype=dtype)
     epart = partition_elements(
         prob.mesh.tetra,

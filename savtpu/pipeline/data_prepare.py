@@ -15,11 +15,39 @@ import numpy as np
 from ..config import Config
 from ..io.artifacts import save_displacement
 from ..mesh import write_vtk
-from ..solvers.steady import steady_solve
+from ..solvers.steady import steady_displacement
 from .common import StageContext, build_context, rank_trajectory, save_partition_labels
 
 
 def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
+    if cfg.solver.deg == 2:
+        # steady-only P2 path driven straight from config (the reference's
+        # 'p=2 only works for steady case', Data_prepare.py:42): solve and
+        # write the steady VTK, no dynamic stage.
+        from ..io.artifacts import ArtifactStore
+        from ..solvers import setup_problem
+
+        prob = setup_problem(cfg)
+        store = ArtifactStore(
+            cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag()
+        )
+        d_steady = np.asarray(steady_displacement(prob))
+        write_vtk(
+            store.steady_vtk(),
+            prob.mesh,
+            point_data={
+                "displacement-x": d_steady[0::3],
+                "displacement-y": d_steady[1::3],
+                "displacement-z": d_steady[2::3],
+            },
+        )
+        if verbose:
+            print(
+                f"[data_prepare] deg=2 steady-only solve "
+                f"({prob.ndof} DOFs) -> {store.steady_vtk()}"
+            )
+        return prob
+
     if ctx is None:
         ctx = build_context(cfg)
     prob, sp, solver, store = ctx.prob, ctx.sp, ctx.solver, ctx.store
@@ -28,16 +56,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
 
     # steady solve + VTK (Data_prepare.py:158-168); the element force Fe is
     # the unramped steady load (F_pre was assembled from it).
-    from ..ops.element import batch_element_mkf
-    import dataclasses as _dc
-
-    mat_steady = _dc.replace(prob.material, ramped=False)
-    _, _, Fe = batch_element_mkf(
-        prob.deg, prob.n_quad, mat_steady, 0.0, prob.coords
-    )
-    d_steady = np.asarray(
-        steady_solve(prob.Ke, Fe, prob.edofs, prob.ndof, prob.dirichlet_dofs)
-    )
+    d_steady = np.asarray(steady_displacement(prob))
     write_vtk(
         store.steady_vtk(),
         prob.mesh,

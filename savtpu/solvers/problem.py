@@ -95,16 +95,33 @@ def setup_problem(
     # (Data_prepare.py:160,175-176 use elas_steady here).
     material_steady = dc_replace(material, ramped=False)
 
-    tets = mesh.tetra
+    if sol.deg == 2:
+        # steady-only P2 path (the reference's comment at
+        # Data_prepare.py:42: 'p=2 only works for steady case'): promote a
+        # P1 mesh to tetra10 on the fly; the dynamic/sharded layers guard
+        # against deg != 1 themselves.
+        if "tetra10" not in mesh.cells:
+            from ..mesh.generator import to_p2
+
+            mesh = to_p2(mesh)
+        cells = mesh.cells["tetra10"]
+        corner_tets = cells[:, :4]
+    elif sol.deg == 1:
+        cells = mesh.tetra
+        corner_tets = cells
+    else:
+        raise ValueError(f"unsupported polynomial degree {sol.deg}")
+
     points = mesh.points
     ndof = mesh.num_dofs
 
     dt = cfl_dt(
-        tets, points, mat_cfg.E, mat_cfg.rho, mat_cfg.nu, gamma=sol.gamma
+        corner_tets, points, mat_cfg.E, mat_cfg.rho, mat_cfg.nu,
+        gamma=sol.gamma,
     )
 
-    coords = gather_coords(tets, points, dtype=dtype)
-    edofs = element_dofs(tets)
+    coords = gather_coords(cells, points, dtype=dtype)
+    edofs = element_dofs(cells)
 
     Me, Ke, Fe = batch_element_mkf(
         sol.deg, sol.n_quad, material_steady, 0.0, coords
@@ -112,13 +129,26 @@ def setup_problem(
     lumped_M = assemble_lumped_mass(Me, edofs, ndof)
     F_pre = assemble_force(Fe, edofs, ndof)
 
-    dnodes = dirichlet_nodes(
-        mesh.triangles,
-        points,
-        axis=cfg.partition.dirichlet_axis,
-        value=cfg.partition.dirichlet_value,
-        tol=cfg.partition.dirichlet_tol,
-    )
+    if sol.deg == 2:
+        # the boundary triangles are corner facets; edge-midpoint nodes on
+        # the clamped coordinate plane must be clamped too, so detect by
+        # coordinate over all nodes (the plane IS the face on this family
+        # of geometries)
+        dnodes = np.flatnonzero(
+            np.abs(
+                points[:, cfg.partition.dirichlet_axis]
+                - cfg.partition.dirichlet_value
+            )
+            < max(cfg.partition.dirichlet_tol, 1e-9)
+        )
+    else:
+        dnodes = dirichlet_nodes(
+            mesh.triangles,
+            points,
+            axis=cfg.partition.dirichlet_axis,
+            value=cfg.partition.dirichlet_value,
+            tol=cfg.partition.dirichlet_tol,
+        )
     ddofs = node_to_dof(dnodes)
     mask = dirichlet_mask(ndof, ddofs, dtype=dtype)
 

@@ -92,3 +92,17 @@ def eigen_modes(Me, Ke, edofs, ndof: int, dirichlet_dofs, num: int = 50):
     omega_sq = eigh(K, M, eigvals_only=True)
     freqs = np.sqrt(np.maximum(omega_sq, 0.0)) / (2 * np.pi)
     return freqs[:num]
+
+
+def steady_displacement(prob):
+    """Steady displacement of an AssembledProblem under the full
+    (unramped) load — the reference's Steady_Elasticity_solver entry
+    (Data_prepare.py:158-168). Works for P1 and the steady-only P2 path."""
+    import dataclasses as _dc
+
+    from ..ops.element import batch_element_mkf
+
+    mat = _dc.replace(prob.material, ramped=False)
+    _, _, Fe = batch_element_mkf(prob.deg, prob.n_quad, mat, 0.0, prob.coords)
+    return steady_solve(prob.Ke, Fe, prob.edofs, prob.ndof,
+                        prob.dirichlet_dofs)

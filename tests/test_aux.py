@@ -255,3 +255,35 @@ def test_artifact_npz_fallback(tmp_path, monkeypatch):
     assert p.suffix == ".npz"
     back = artifacts.load_displacement(tmp_path / "x.hdf5")
     assert np.array_equal(back, data)
+
+
+def test_vtk_adversarial_header(tmp_path):
+    """Title lines may legally contain numbers and keywords; the parser
+    must skip the title VERBATIM (VERDICT round-1 weak #6: the old
+    token-soup heuristic would mis-parse a numeric title)."""
+    mesh = beam_mesh(3, 2, 2, extent=(3.0, 1.0, 1.0))
+    p = tmp_path / "m.vtk"
+    write_vtk(p, mesh)
+    lines = p.read_text().splitlines()
+    assert lines[1] == "savtpu mesh"
+    lines[1] = "12 POINTS 7 CELLS beam mesh v2.4 CELL_TYPES 99"
+    q = tmp_path / "adversarial.vtk"
+    q.write_text("\n".join(lines) + "\n")
+    back = read_vtk(q)
+    assert np.allclose(back.points, mesh.points)
+    assert np.array_equal(back.tetra, mesh.tetra)
+
+    # unsupported shapes produce clear errors instead of garbage meshes
+    bad = tmp_path / "bad.vtk"
+    bad.write_text(
+        "# vtk DataFile Version 2.0\ntitle\nASCII\nDATASET STRUCTURED_POINTS\n"
+    )
+    with pytest.raises(ValueError, match="UNSTRUCTURED_GRID"):
+        read_vtk(bad)
+    binf = tmp_path / "bin.vtk"
+    binf.write_text(
+        "# vtk DataFile Version 2.0\ntitle\nBINARY\n"
+        "DATASET UNSTRUCTURED_GRID\n"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        read_vtk(binf)
