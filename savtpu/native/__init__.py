@@ -45,7 +45,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO.exists() and not _build():
+    src = _DIR / "sav_native.cpp"
+    stale = (
+        not _SO.exists()
+        or (src.exists() and src.stat().st_mtime > _SO.stat().st_mtime)
+    )
+    if stale and not _build():
         return None
     try:
         lib = ctypes.CDLL(str(_SO))
@@ -57,6 +62,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                  # n parts
             ctypes.c_int64,                  # refinement passes
             ctypes.POINTER(ctypes.c_int64),  # out epart
+        ]
+        lib.sav_partition_refine.restype = ctypes.c_int
+        lib.sav_partition_refine.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # xadj
+            ctypes.POINTER(ctypes.c_int64),  # adjncy
+            ctypes.c_int64,                  # n vertices
+            ctypes.c_int64,                  # n parts
+            ctypes.c_int64,                  # refinement passes
+            ctypes.POINTER(ctypes.c_int64),  # epart in/out
         ]
         lib.sav_first_touch.restype = ctypes.c_int64
         lib.sav_first_touch.argtypes = [
@@ -84,6 +98,26 @@ def native_partition(xadj, adjncy, n_parts, refine_passes=8):
         xadj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         adjncy.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n,
+        n_parts,
+        refine_passes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out if rc == 0 else None
+
+
+def native_refine(xadj, adjncy, epart, n_parts, refine_passes=8):
+    """FM boundary refinement of a given partition (in a copy); None if
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xadj = np.ascontiguousarray(xadj, dtype=np.int64)
+    adjncy = np.ascontiguousarray(adjncy, dtype=np.int64)
+    out = np.ascontiguousarray(epart, dtype=np.int64).copy()
+    rc = lib.sav_partition_refine(
+        xadj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        adjncy.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(xadj) - 1,
         n_parts,
         refine_passes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -87,6 +87,30 @@ int64_t refine_pass(const int64_t* xadj, const int64_t* adjncy, int64_t n,
 
 }  // namespace
 
+// Refine a caller-supplied partition in place: balance sweeps + FM gain
+// moves. Lets Python seed with a geometric partition (RCB) so the graph
+// method is never worse than its seed — the METIS recipe of a good
+// initial partition + Fiduccia-Mattheyses boundary refinement.
+int sav_partition_refine(const int64_t* xadj, const int64_t* adjncy,
+                         int64_t n, int64_t nparts, int64_t refine_passes,
+                         int64_t* epart_inout) {
+  if (n <= 0 || nparts <= 0) return 1;
+  std::vector<int64_t> part(epart_inout, epart_inout + n);
+  std::vector<int64_t> sizes(static_cast<size_t>(nparts), 0);
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t p = part[static_cast<size_t>(v)];
+    if (p < 0 || p >= nparts) return 2;
+    sizes[static_cast<size_t>(p)]++;
+  }
+  int64_t max_size = (n + nparts - 1) / nparts + 1;
+  for (int64_t pass = 0; pass < refine_passes; ++pass) {
+    if (refine_pass(xadj, adjncy, n, nparts, part, sizes, max_size) == 0)
+      break;
+  }
+  std::memcpy(epart_inout, part.data(), sizeof(int64_t) * part.size());
+  return 0;
+}
+
 int sav_partition_graph(const int64_t* xadj, const int64_t* adjncy,
                         int64_t n, int64_t nparts, int64_t refine_passes,
                         int64_t* epart_out) {

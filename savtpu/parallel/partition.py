@@ -8,9 +8,11 @@ provide our own partitioners:
               perfectly balanced, contiguous, minimal interface on elongated
               geometries like the cantilever).
 - ``slab``  — 1-D contiguous split along the longest axis.
-- ``graph`` — k-way greedy graph growing on the face-adjacency dual graph
-              with boundary refinement; uses the native C++ kernel
-              (savtpu/native) when built, else the NumPy fallback.
+- ``graph`` — RCB seed + Fiduccia-Mattheyses boundary refinement on the
+              face-adjacency dual graph (the METIS recipe); refinement only
+              accepts cut-reducing moves, so graph <= RCB edge cut by
+              construction. Native C++ kernel when built, vectorized NumPy
+              fallback otherwise.
 
 All return ``epart``: (E,) int array of element -> part assignments, the
 same contract as ParMETIS' output.
@@ -90,48 +92,63 @@ def _rcb(idx, centroids, base, k, epart):
 
 
 def _partition_graph(cells, centroids, n_parts):
-    """Greedy graph-growing + boundary refinement on the dual graph."""
-    from ..native import native_partition
+    """RCB seed + Fiduccia-Mattheyses boundary refinement on the dual
+    graph (the METIS recipe: good initial partition, then gain moves).
+    Refinement only accepts cut-reducing moves under a balance cap, so the
+    result's edge cut is never worse than RCB's."""
+    from ..native import native_refine
 
     xadj, adjncy = dual_graph(cells)
-    out = native_partition(xadj, adjncy, n_parts)
+    seed = np.zeros(len(cells), dtype=np.int64)
+    _rcb(np.arange(len(cells)), centroids, 0, n_parts, seed)
+    out = native_refine(xadj, adjncy, seed, n_parts, refine_passes=12)
     if out is not None:
         return out
-    return _greedy_grow(xadj, adjncy, centroids, n_parts)
+    return _refine_numpy(xadj, adjncy, seed, n_parts)
 
 
-def _greedy_grow(xadj, adjncy, centroids, n_parts):
+def _refine_numpy(xadj, adjncy, epart, n_parts, passes=12):
+    """Vectorized FM-style refinement fallback: per pass, compute every
+    boundary vertex's best-gain destination with grouped counting, then
+    apply moves in descending gain order under the balance cap."""
     E = len(xadj) - 1
-    target = E // n_parts
-    epart = np.full(E, -1, dtype=np.int64)
-    # seeds: spread along the dominant axis
-    axis = int(np.argmax(centroids.max(0) - centroids.min(0)))
-    order = np.argsort(centroids[:, axis], kind="stable")
-    unassigned = set(range(E))
-    for p in range(n_parts):
-        size_p = target + (1 if p < E % n_parts else 0)
-        seed = next(e for e in order if e in unassigned)
-        frontier = [seed]
-        grown = 0
-        while frontier and grown < size_p:
-            e = frontier.pop(0)
-            if epart[e] != -1:
+    epart = epart.copy()
+    src = np.repeat(np.arange(E), np.diff(xadj))
+    max_size = -(-E // n_parts) + 1
+    for _ in range(passes):
+        pairs = src * np.int64(n_parts) + epart[adjncy]
+        uniq, cnts = np.unique(pairs, return_counts=True)
+        uv = uniq // n_parts
+        up = uniq % n_parts
+        own = np.zeros(E, dtype=np.int64)
+        own_mask = up == epart[uv]
+        own[uv[own_mask]] = cnts[own_mask]
+        # best foreign-part count per vertex
+        fv, fp, fc = uv[~own_mask], up[~own_mask], cnts[~own_mask]
+        if not len(fv):
+            break
+        order = np.lexsort((fc, fv))
+        fv, fp, fc = fv[order], fp[order], fc[order]
+        last = np.flatnonzero(np.diff(np.append(fv, -1)) != 0)
+        bv, bp, bc = fv[last], fp[last], fc[last]
+        gain = bc - own[bv]
+        cand = gain > 0
+        bv, bp, gain = bv[cand], bp[cand], gain[cand]
+        if not len(bv):
+            break
+        sizes = np.bincount(epart, minlength=n_parts)
+        moved = 0
+        for i in np.argsort(-gain):
+            v, b = int(bv[i]), int(bp[i])
+            pv = int(epart[v])
+            if sizes[pv] <= 1 or sizes[b] >= max_size:
                 continue
-            epart[e] = p
-            unassigned.discard(e)
-            grown += 1
-            for nb in adjncy[xadj[e] : xadj[e + 1]]:
-                if epart[nb] == -1:
-                    frontier.append(int(nb))
-        # disconnected leftovers handled by the final sweep
-    for e in order:
-        if epart[e] == -1:
-            # attach to an assigned neighbor, else smallest part
-            nbs = [
-                int(epart[nb])
-                for nb in adjncy[xadj[e] : xadj[e + 1]]
-                if epart[nb] != -1
-            ]
-            epart[e] = nbs[0] if nbs else int(np.argmin(np.bincount(
-                epart[epart >= 0], minlength=n_parts)))
+            epart[v] = b
+            sizes[pv] -= 1
+            sizes[b] += 1
+            moved += 1
+        if moved == 0:
+            break
     return epart
+
+

@@ -91,6 +91,22 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     if verbose:
         print(f"[data_prepare] {num_steps} steps in {elapsed:.2f}s "
               f"({num_steps/elapsed:.0f} steps/s)")
+    from ..utils import stage_log
+
+    stage_log(cfg).log(
+        "stage1_solve",
+        steps=num_steps,
+        seconds=round(elapsed, 3),
+        steps_per_sec=round(num_steps / elapsed, 1),
+        elem_updates_per_sec=round(
+            num_steps / elapsed * len(prob.mesh.tetra), 1
+        ),
+        n_parts=sp.n_parts,
+        fint_mode=sp.fint_mode,
+        exchange_mode=sp.exchange_mode,
+        save_every=save_every,
+        dt=prob.dt,
+    )
     for r in range(sp.n_parts):
         save_displacement(store.dynamics_h5(r), rank_trajectory(ctx, traj, r))
     return ctx

@@ -86,6 +86,16 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
             },
         )
         results[r] = (params, hist)
+        from ..utils import stage_log
+
+        stage_log(cfg).log(
+            "stage3_train_rank",
+            rank=r,
+            input_size=int(input_size),
+            epochs=sur.epochs,
+            final_train_loss=hist["train_loss"][-1],
+            final_val_r2=hist["val_r2"][-1] if hist["val_r2"] else None,
+        )
     return results
 
 
@@ -155,8 +165,23 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
             f"{G} windows each, {sur.epochs} epochs"
         )
     log = (lambda s: print(f"[stacked] {s}")) if verbose else (lambda s: None)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     params, hist = fit_stacked(
         sur, Xp, Yp, fm, log_every=50 if verbose else 0, log_fn=log
+    )
+    from ..utils import stage_log
+
+    stage_log(cfg).log(
+        "stage3_train_stacked",
+        shards=n_parts,
+        input_size=int(Dmax),
+        windows=int(G),
+        epochs=sur.epochs,
+        seconds=round(_time.perf_counter() - _t0, 3),
+        final_train_loss=[float(x) for x in hist["train_loss"][-1]],
+        final_val_r2=[float(x) for x in hist["val_r2"][-1]],
     )
 
     results = {}

@@ -227,6 +227,20 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             f"[online] {num_steps} steps in {elapsed:.2f}s "
             f"({num_steps/elapsed:.0f} steps/s)"
         )
+    from ..utils import stage_log
+
+    stage_log(cfg).log(
+        "stage4_online",
+        steps=num_steps,
+        n_sync=n_sync,
+        block=block,
+        blocks=-(-(num_steps - n_sync) // block),
+        seconds=round(elapsed, 3),
+        steps_per_sec=round(num_steps / elapsed, 1),
+        comm_free_fraction=round((num_steps - n_sync) / num_steps, 4),
+        stacked_predictor=bool(stacked_ok),
+        n_parts=P,
+    )
 
     traj = np.concatenate(trajs, axis=1)  # (P, T/se_run, DL)
     if se_run == 1 and se > 1:

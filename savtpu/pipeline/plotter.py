@@ -89,6 +89,9 @@ def run(cfg: Config, n_parts: int | None = None, start: int = 2000,
     (Path(cfg.workdir) / "comparison_metrics.json").write_text(
         json.dumps(metrics, indent=2)
     )
+    from ..utils import stage_log
+
+    stage_log(cfg).log("stage5_metrics", **metrics)
     if verbose:
         print(f"[plotter] wrote {out}; metrics: {metrics}")
     return metrics

@@ -26,12 +26,20 @@ def shared_dof_indices(local_nodes: np.ndarray, shared: np.ndarray) -> np.ndarra
 def run(cfg: Config, n_parts: int | None = None):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     n_parts = n_parts or cfg.partition.n_parts
+    sizes = []
     for r in range(n_parts):
         local_nodes = store.load_int_csv(store.local_nodes_csv(r))
         shared = store.load_int_csv(store.shared_csv(r))
         data = load_displacement(store.dynamics_h5(r))
         rows = shared_dof_indices(local_nodes, shared)
         save_displacement(store.shared_dof_h5(r), data[rows, :])
+        sizes.append(len(rows))
+
+    from ..utils import stage_log
+
+    stage_log(cfg).log(
+        "stage2_extract", ranks=n_parts, shared_dofs_per_rank=sizes
+    )
 
 
 def main(argv=None):

@@ -68,3 +68,24 @@ def profile_trace(logdir: str | Path = "/tmp/savtpu_profile"):
                 jax.profiler.stop_trace()
             except Exception:
                 pass
+
+
+class MetricsLog:
+    """Append-only JSONL run log (SURVEY.md §5 structured observability —
+    the reference has print() only). One line per event:
+    {"ts": ..., "event": ..., **fields}. Every pipeline stage appends to
+    <workdir>/metrics.jsonl."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, event: str, **fields) -> None:
+        rec = {"ts": round(time.time(), 3), "event": event, **fields}
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+
+def stage_log(cfg) -> "MetricsLog":
+    """The pipeline's shared metrics log under cfg.workdir."""
+    return MetricsLog(Path(cfg.workdir) / "metrics.jsonl")

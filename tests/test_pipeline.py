@@ -192,3 +192,36 @@ def test_p2_steady_from_config(tmp_path):
 
     with pytest.raises(NotImplementedError, match="steady-only"):
         build_context(cfg)
+
+
+def test_metrics_jsonl_written(tmp_path):
+    """Every stage appends structured events to <workdir>/metrics.jsonl
+    (SURVEY.md §5 observability, VERDICT item 10)."""
+    import json as _json
+
+    from savtpu.api import Simulation
+
+    cfg = Config()
+    cfg.workdir = str(tmp_path / "Results")
+    cfg.model_dir = str(tmp_path / "Distributed_save")
+    cfg.beam_cells = (6, 1, 1)
+    cfg.beam_extent = (6.0, 1.0, 1.0)
+    cfg.partition.n_parts = 2
+    cfg.solver.num_steps = 100
+    s = cfg.surrogate
+    s.n_past = s.n_future = 4
+    s.filter_size = 5
+    s.batch_size = 2
+    s.num_epochs = 5
+    s.hidden_size = 8
+    Simulation(cfg, verbose=False).run_all()
+
+    lines = (tmp_path / "Results" / "metrics.jsonl").read_text().splitlines()
+    events = [_json.loads(l)["event"] for l in lines]
+    recs = {_json.loads(l)["event"]: _json.loads(l) for l in lines}
+    for ev in ("stage1_solve", "stage2_extract", "stage3_train_stacked",
+               "stage4_online", "stage5_metrics"):
+        assert ev in events, events
+    assert recs["stage1_solve"]["steps_per_sec"] > 0
+    assert recs["stage4_online"]["comm_free_fraction"] > 0.5
+    assert len(recs["stage3_train_stacked"]["final_val_r2"]) == 2
