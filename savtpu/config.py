@@ -108,6 +108,13 @@ class SurrogateConfig:
                               # (scaled units) — robustifies the open-loop
                               # block recursion against its own feedback
                               # error at high shard counts
+    rollout_windows: int = 1  # savtpu extension: train on this many
+                              # CHAINED windows — after the first, the
+                              # encoder input is the model's own previous
+                              # predictions, exactly the online regime
+                              # (post-warm-up history is pure model
+                              # feedback, Online_predictor.py:298-301).
+                              # 1 = the reference's single-window training.
 
     @property
     def epochs(self) -> int:

@@ -31,6 +31,25 @@ def mse(a, b):
     return jnp.mean((a - b) ** 2)
 
 
+def chained_predict(params, X, n_future, n_windows, feat_mask=None):
+    """Decode ``n_windows`` chained windows of ``n_future`` steps: after
+    the first window the encoder input is the model's own previous
+    predictions (the trailing n_past steps of input++output) — the exact
+    open-loop regime of the online phase, where the shared-DOF history is
+    pure model feedback after warm-up (Online_predictor.py:298-301).
+    Returns (B, n_windows*n_future, D)."""
+    from .lstm import seq2seq_predict
+
+    n_past = X.shape[1]
+    outs = []
+    x = X
+    for _ in range(n_windows):
+        out = seq2seq_predict(params, x, n_future, feat_mask=feat_mask)
+        outs.append(out)
+        x = jnp.concatenate([x, out], axis=1)[:, -n_past:, :]
+    return outs[0] if n_windows == 1 else jnp.concatenate(outs, axis=1)
+
+
 def batch_metrics(out, truth):
     """(loss, r2, rel) of one batch (DNN_tools.py:146-157)."""
     loss = mse(out, truth)
@@ -168,10 +187,21 @@ def fit(
     opt_state = tx.init(params)
 
     n_future = cfg.n_future
+    n_windows = int(getattr(cfg, "rollout_windows", 1) or 1)
     method = getattr(cfg, "training_method", "recursive")
     dp_enc = getattr(cfg, "dropout_encoder", 0.0)
     dp_dec = getattr(cfg, "dropout_decoder", 0.0)
     stochastic = method == "mtf" or dp_enc > 0 or dp_dec > 0
+    if n_windows > 1 and stochastic:
+        raise ValueError(
+            "rollout_windows > 1 requires the deterministic recursive "
+            "training method (no mtf/dropout)"
+        )
+    if Y.shape[1] != n_windows * n_future:
+        raise ValueError(
+            f"targets have {Y.shape[1]} steps; expected rollout_windows * "
+            f"n_future = {n_windows * n_future}"
+        )
     ratio0 = jnp.asarray(
         getattr(cfg, "tf_ratio", 0.0) if method == "mtf" else 0.0, dtype
     )
@@ -209,7 +239,7 @@ def fit(
         else:
 
             def loss_fn(p):
-                out = seq2seq_predict(p, Xb, n_future)
+                out = chained_predict(p, Xb, n_future, n_windows)
                 return mse(out, Yb), out
 
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -226,12 +256,12 @@ def fit(
 
             def ev(c, b):
                 Xb, Yb = b
-                out = seq2seq_predict(params, Xb, n_future)
+                out = chained_predict(params, Xb, n_future, n_windows)
                 return c + jnp.stack(batch_metrics(out, Yb)), None
 
             tot, _ = jax.lax.scan(ev, tot, (Xvb, Yvb))
         if has_val and vr:
-            out = seq2seq_predict(params, Xvt, n_future)
+            out = chained_predict(params, Xvt, n_future, n_windows)
             tot = tot + jnp.stack(batch_metrics(out, Yvt))
         return tot / max(v_batches, 1)
 
@@ -364,6 +394,12 @@ def fit_stacked(
     Yva = jnp.take_along_axis(Y, jnp.asarray(val_idx)[:, :, None, None], 1)
 
     n_future = cfg.n_future
+    n_windows = int(getattr(cfg, "rollout_windows", 1) or 1)
+    if Y.shape[2] != n_windows * n_future:
+        raise ValueError(
+            f"targets have {Y.shape[2]} steps; expected rollout_windows * "
+            f"n_future = {n_windows * n_future}"
+        )
 
     noise = float(getattr(cfg, "input_noise", 0.0) or 0.0)
 
@@ -385,7 +421,8 @@ def fit_stacked(
             Xb, Yb = batch
 
             def loss_fn(p):
-                out = seq2seq_predict(p, Xb, n_future, feat_mask=fm)
+                out = chained_predict(p, Xb, n_future, n_windows,
+                                      feat_mask=fm)
                 return masked_mse(out, Yb, fm), out
 
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -402,7 +439,7 @@ def fit_stacked(
         return params, opt_state, stats.mean(axis=0)
 
     def one_shard_eval(params, Xs, Ys, fm):
-        out = seq2seq_predict(params, Xs, n_future, feat_mask=fm)
+        out = chained_predict(params, Xs, n_future, n_windows, feat_mask=fm)
         return jnp.stack(masked_metrics(out, Ys, fm))
 
     def epoch_all(params, opt_state, perms, nkeys):

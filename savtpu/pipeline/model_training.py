@@ -50,7 +50,8 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
         trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
         input_size = trace.shape[1]
         X, Y = strided_windows(
-            trace, sur.n_past, sur.n_future, eff_filter, sur.cut_off
+            trace, sur.n_past, sur.n_future * sur.rollout_windows,
+            eff_filter, sur.cut_off,
         )
         X, Y, smax, smin = scale_to_zero_one(X, Y)
         rng = np.random.default_rng(sur.seed + 17 * r)
@@ -77,6 +78,7 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
                 "bidirectional": sur.bidirectional,
                 "n_past": sur.n_past,
                 "n_future": sur.n_future,
+                "rollout_windows": sur.rollout_windows,
                 "filter_size": sur.filter_size,
                 "cut_off": sur.cut_off,
                 "scale_max": float(smax),
@@ -137,7 +139,8 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
     Xs, Ys, smaxs, smins = [], [], [], []
     for tr in traces:
         X, Y = strided_windows(
-            tr, sur.n_past, sur.n_future, eff_filter, sur.cut_off
+            tr, sur.n_past, sur.n_future * sur.rollout_windows,
+            eff_filter, sur.cut_off,
         )
         smax = max(float(X.max()), float(Y.max()))
         smin = min(float(X.min()), float(Y.min()))
@@ -148,7 +151,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
 
     G = min(x.shape[0] for x in Xs)
     Xp = np.zeros((n_parts, G, sur.n_past, Dmax))
-    Yp = np.zeros((n_parts, G, sur.n_future, Dmax))
+    Yp = np.zeros((n_parts, G, sur.n_future * sur.rollout_windows, Dmax))
     fm = np.zeros((n_parts, Dmax))
     for r in range(n_parts):
         # pad raw windows, then scale the whole padded array per shard —
@@ -203,6 +206,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
                 "bidirectional": sur.bidirectional,
                 "n_past": sur.n_past,
                 "n_future": sur.n_future,
+                "rollout_windows": sur.rollout_windows,
                 "filter_size": sur.filter_size,
                 "cut_off": sur.cut_off,
                 "scale_max": smaxs[r],

@@ -69,8 +69,9 @@ def load_rank_models(ctx: StageContext):
 
         trace = load_displacement(ctx.store.shared_dof_h5(r)).T
         X, Y = strided_windows(
-            trace, sur.n_past, sur.n_future, effective_filter(ctx.cfg),
-            sur.cut_off,
+            trace, sur.n_past,
+            sur.n_future * int(meta.get("rollout_windows", 1) or 1),
+            effective_filter(ctx.cfg), sur.cut_off,
         )
         _, _, smax, smin = scale_to_zero_one(X, Y)
         if not np.isclose(smax, meta["scale_max"], rtol=1e-10) or not (

@@ -117,3 +117,65 @@ def test_masked_mse_equals_unpadded():
     got = float(masked_mse(jnp.asarray(out), jnp.asarray(truth), jnp.asarray(fm)))
     want = float(np.mean((out[..., :3] - truth[..., :3]) ** 2))
     assert abs(got - want) < 1e-12
+
+
+def test_rollout_windows_training_and_pipeline(tmp_path):
+    """rollout_windows>1 trains on chained open-loop windows (the online
+    regime) and the full pipeline runs with it; W=1 stays the reference
+    behavior (target length checked)."""
+    import jax
+    import pytest
+
+    from savtpu.config import Config
+    from savtpu.models.training import chained_predict, fit, fit_stacked
+    from savtpu.models.lstm import init_seq2seq, seq2seq_predict
+
+    # chained_predict semantics: W=1 == seq2seq_predict; W=2 feeds the
+    # first window's output back as encoder input
+    params = init_seq2seq(jax.random.PRNGKey(0), 4, 6, 2, True)
+    X = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 4))
+    one = seq2seq_predict(params, X, 5)
+    ch1 = chained_predict(params, X, 5, 1)
+    assert np.allclose(np.asarray(one), np.asarray(ch1))
+    ch2 = chained_predict(params, X, 5, 2)
+    assert ch2.shape == (3, 10, 4)
+    assert np.allclose(np.asarray(ch2[:, :5]), np.asarray(one))
+    second = seq2seq_predict(params, one, 5)  # n_past == n_future here
+    assert np.allclose(np.asarray(ch2[:, 5:]), np.asarray(second),
+                       atol=1e-6)
+
+    # fit / fit_stacked accept W-chained targets and reject mismatches
+    cfg = Config().surrogate
+    cfg.n_past = cfg.n_future = 3
+    cfg.rollout_windows = 2
+    cfg.num_epochs = 2
+    cfg.hidden_size = 4
+    cfg.batch_size = 2
+    rng = np.random.default_rng(0)
+    Xw = rng.normal(size=(6, 3, 4))
+    Yw = rng.normal(size=(6, 6, 4))
+    fit(cfg, Xw, Yw, Xw[:2], Yw[:2], log_every=0)
+    fit_stacked(cfg, Xw[None], Yw[None], np.ones((1, 4)), log_every=0)
+    with pytest.raises(ValueError, match="rollout_windows"):
+        fit(cfg, Xw, Yw[:, :3], log_every=0)
+
+    # full pipeline with rollout_windows=2
+    from savtpu.api import Simulation
+
+    pc = Config()
+    pc.workdir = str(tmp_path / "Results")
+    pc.model_dir = str(tmp_path / "Distributed_save")
+    pc.beam_cells = (6, 1, 1)
+    pc.beam_extent = (6.0, 1.0, 1.0)
+    pc.partition.n_parts = 2
+    pc.solver.num_steps = 200
+    s = pc.surrogate
+    s.n_past = s.n_future = 4
+    s.filter_size = 5
+    s.cut_off = 1.0
+    s.batch_size = 2
+    s.num_epochs = 5
+    s.hidden_size = 8
+    s.rollout_windows = 2
+    metrics = Simulation(pc, verbose=False).run_all()
+    assert all(np.isfinite(v) for v in metrics.values() if not isinstance(v, int))
