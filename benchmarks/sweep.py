@@ -37,7 +37,7 @@ from savtpu.parallel.sharded import ShardedSolver
 from savtpu.solvers import setup_problem
 
 
-def bench_case(nx, ny, nz, n_parts, mode, steps):
+def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum"):
     cfg = Config()
     cfg.beam_cells = (nx, ny, nz)
     cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
@@ -49,7 +49,10 @@ def bench_case(nx, ny, nz, n_parts, mode, steps):
     maps = build_partition_maps(
         prob.mesh.tetra, epart, prob.mesh.num_points, dn
     )
-    sp = ShardedProblem.build(prob, maps, fint_mode=mode, dtype=jnp.float32)
+    sp = ShardedProblem.build(
+        prob, maps, fint_mode=mode, dtype=jnp.float32,
+        exchange_mode=exchange,
+    )
     sol = ShardedSolver(sp)
     d0 = sp.localize(np.zeros(prob.ndof, np.float32))
 
@@ -60,6 +63,7 @@ def bench_case(nx, ny, nz, n_parts, mode, steps):
         "n_parts": n_parts,
         "DL": sp.DL,
         "fint_mode": sp.fint_mode,
+        "exchange_mode": exchange,
     }
     for sync, name in ((False, "sync_avoiding"), (True, "exchanged")):
         (_, _), c = sol.run(d0, d0, 0.0, steps, sync=sync, record="none")
@@ -90,6 +94,9 @@ CASES = [
     (192, 12, 12, 64, "banded", 1000),
     (192, 12, 12, 256, "dense", 1000),
     (384, 16, 16, 256, "banded", 500),  # 590k tets on one chip
+    # exchanged-path halo variants (psum vs neighbor-packed permute)
+    (96, 8, 8, 64, "dense", 2000, "permute"),
+    (192, 12, 12, 64, "banded", 1000, "permute"),
 ]
 
 QUICK = [(25, 1, 1, 2, "dense", 5000), (48, 4, 4, 8, "ell", 2000)]

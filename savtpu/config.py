@@ -108,6 +108,16 @@ class SurrogateConfig:
                               # (scaled units) — robustifies the open-loop
                               # block recursion against its own feedback
                               # error at high shard counts
+    pred_consensus: bool = True  # savtpu extension: average all owner
+                                 # ranks' predictions of each duplicated
+                                 # shared DOF before feeding them to the
+                                 # solvers. At 2 ranks every shared node
+                                 # belongs to both ranks so this only
+                                 # denoises; at >2 ranks it restores the
+                                 # interface consistency the exchange used
+                                 # to enforce (owners otherwise drift
+                                 # apart). One index-op per 3000-step
+                                 # block — the schedule stays comm-free.
     rollout_windows: int = 1  # savtpu extension: train on this many
                               # CHAINED windows — after the first, the
                               # encoder input is the model's own previous

@@ -541,7 +541,7 @@ class ShardedProblem:
         reduce_fn: Callable = lambda x: x,
         permute_fn: Optional[Callable] = None,
         preds=None,              # (P, num_steps, 3*S_max) if not sync
-        record: str = "all",     # "all" | "shared" | "none"
+        record: str = "all",     # "all" | "traj" | "shared" | "none"
         save_every: int = 1,
     ):
         """Scan ``num_steps`` steps. Returns ((traj, shared_trace), carry);
@@ -579,7 +579,7 @@ class ShardedProblem:
             def body(carry, x):
                 carry, d1 = step(carry, x)
                 outs = (
-                    d1 if record == "all" else None,
+                    d1 if record in ("all", "traj") else None,
                     self._gather_shared(d1) if want_shared else None,
                 )
                 return carry, outs
@@ -622,7 +622,9 @@ class ShardedProblem:
                 if want_shared
                 else None
             )
-            return carry, (d_first if record == "all" else None, sh_block)
+            return carry, (
+                d_first if record in ("all", "traj") else None, sh_block
+            )
 
         xs = None
         if preds is not None:
@@ -783,7 +785,7 @@ class ShardedSolver:
         dtype = np.dtype(self.sp.lM.dtype)
         traj_h = (
             np.empty((P_, n_rec, self.sp.DL), dtype=dtype)
-            if record == "all"
+            if record in ("all", "traj")
             else None
         )
         shared_h = (
@@ -847,7 +849,7 @@ class ShardedSolver:
 
         data_specs = {k: spec for k in self._data()}
         out_record = (
-            spec if record == "all" else None,
+            spec if record in ("all", "traj") else None,
             spec if record in ("all", "shared") else None,
         )
         fn = _shard_map(

@@ -82,9 +82,11 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             f"({save_every})"
         )
     # in-scan save_every stride + chunked host offload: device memory for
-    # the history stays O(P * chunk * DL) however long the run is
+    # the history stays O(P * chunk * DL) however long the run is.
+    # record="traj": stage 1 never consumes the shared trace (stage 2
+    # re-derives it from the stored displacement), so don't transfer it.
     (traj, _), carry = solver.run_streamed(
-        d0, dn, 0.0, num_steps, sync=True, record="all",
+        d0, dn, 0.0, num_steps, sync=True, record="traj",
         save_every=save_every,
     )
     elapsed = time.perf_counter() - t_start

@@ -94,6 +94,28 @@ def load_rank_models(ctx: StageContext):
     return models
 
 
+def prediction_consensus(preds, sgi, smask, SD):
+    """Average every owner rank's prediction of each duplicated shared DOF
+    (savtpu extension; see SurrogateConfig.pred_consensus). preds
+    (P, T, 3*S_max) -> same shape with all owners of a global shared DOF
+    holding the identical (mean) value. Exact rows are a fixed point, so
+    the perfect-prediction identity is preserved."""
+    import jax.numpy as jnp
+
+    P, T, S3 = preds.shape
+    flat_idx = np.asarray(sgi).reshape(-1)
+    flat_mask = np.asarray(smask).reshape(-1)
+    pr = jnp.moveaxis(jnp.asarray(preds), 0, 1).reshape(T, P * S3)
+    num = jnp.zeros((T, SD), pr.dtype).at[:, flat_idx].add(
+        pr * flat_mask
+    )
+    cnt = np.zeros(SD)
+    np.add.at(cnt, flat_idx, flat_mask)
+    avg = num / jnp.asarray(np.maximum(cnt, 1.0), pr.dtype)
+    out = avg[:, flat_idx].reshape(T, P, S3)
+    return jnp.moveaxis(out, 0, 1)
+
+
 def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     if ctx is None:
         ctx = build_context(cfg)
@@ -173,6 +195,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
                 feat_mask=fmask_v,
             )
             preds = jnp.asarray(blockpred[:, :n, :], dtype=state_dtype)
+            if sur.pred_consensus:
+                preds = prediction_consensus(preds, sp.sgi, sp.smask, sp.SD)
             d0c, dnc, tc = carry
             (traj_b, shared_b), carry = solver.run(
                 d0c, dnc, tc, n, sync=False, preds=preds,
@@ -210,10 +234,13 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
                 feat_mask=fmask,
             )
             preds[r, :, :Dr] = np.asarray(blockpred)[:n, :Dr]
+        preds = jnp.asarray(preds, dtype=state_dtype)
+        if sur.pred_consensus:
+            preds = prediction_consensus(preds, sp.sgi, sp.smask, sp.SD)
         d0c, dnc, tc = carry
         (traj_b, shared_b), carry = solver.run(
             d0c, dnc, tc, n,
-            sync=False, preds=jnp.asarray(preds, dtype=state_dtype),
+            sync=False, preds=preds,
             save_every=se_run,
         )
         shared_hist[:, i : i + n] = np.asarray(shared_b)

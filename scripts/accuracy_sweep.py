@@ -65,8 +65,21 @@ def main():
     base.beam_cells = (nx, ny, nz)
     base.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
     base.workdir = str(out / "Results")
+    # all variants train into the shared store (the ctx used by stage 4);
+    # each variant's metrics are collected before the next overwrites it
+    base.model_dir = str(out / "models")
     base.partition.n_parts = args.parts
     base.solver.num_steps = args.steps
+    # coarsen storage as much as the schedule allows (must divide both
+    # num_steps and filter_size): training windows are bit-identical
+    # (effective_filter) and the trajectory transfer off the chip shrinks
+    # by that factor; the shared-DOF history the online stage needs stays
+    # full-resolution in memory.
+    import math
+
+    base.solver.save_every = math.gcd(
+        args.steps, base.surrogate.filter_size
+    )
     if args.epochs:
         base.surrogate.num_epochs = args.epochs
 
@@ -83,23 +96,46 @@ def main():
                "stage12_seconds": round(t_data, 1),
                "variants": {}}
     for spec in args.variants.split(","):
-        name, w = spec.split("=")
+        # name=W[:c0][:hN]  (c0 = consensus off, hN = hidden size N)
+        name, opts = spec.split("=")
+        opts = opts.split(":")
         cfg = copy.deepcopy(base)
-        cfg.model_dir = str(out / f"models_{name}")
-        cfg.surrogate.rollout_windows = int(w)
+        cfg.surrogate.rollout_windows = int(opts[0])
+        w = opts[0]
+        for o in opts[1:]:
+            if o == "c0":
+                cfg.surrogate.pred_consensus = False
+            elif o == "c1":
+                cfg.surrogate.pred_consensus = True
+            elif o.startswith("h"):
+                cfg.surrogate.hidden_size = int(o[1:])
+            else:
+                raise ValueError(f"unknown variant option {o!r}")
         if args.epochs:
             cfg.surrogate.num_epochs = args.epochs
 
-        t1 = time.time()
-        model_training.run(cfg, verbose=False)
-        t_train = time.time() - t1
-        t1 = time.time()
-        online_predictor.run(cfg, ctx=ctx, verbose=False)
-        t_online = time.time() - t1
-        metrics = plotter.run(cfg, verbose=False)
+        try:
+            t1 = time.time()
+            model_training.run(cfg, verbose=False)
+            t_train = time.time() - t1
+            t1 = time.time()
+            online_predictor.run(cfg, ctx=ctx, verbose=False)
+            t_online = time.time() - t1
+            metrics = plotter.run(cfg, verbose=False)
+        except Exception as e:  # keep sweeping on per-variant failure
+            results["variants"][name] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
+            print(f"[accuracy] {name}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            out.mkdir(parents=True, exist_ok=True)
+            (out / "summary.json").write_text(json.dumps(results, indent=2))
+            continue
         rels = [v for k, v in metrics.items() if k.endswith("rel_l2_nonshared")]
         results["variants"][name] = {
             "rollout_windows": int(w),
+            "pred_consensus": cfg.surrogate.pred_consensus,
+            "hidden_size": cfg.surrogate.hidden_size,
             "train_seconds": round(t_train, 1),
             "online_seconds": round(t_online, 1),
             "rel_l2_per_rank": [round(v, 5) for v in rels],

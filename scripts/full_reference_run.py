@@ -6,6 +6,12 @@ parts, 1e5 explicit steps, n_p=n_f=20, n_s=150, n_ts=0.5, nH=50, nB=10,
 Adam 5e-4 with 0.998 decay for 3450 epochs — then reports the
 truth-vs-predicted rel-L2 metrics. float64 on CPU (the parity dtype).
 
+Stage 3 (surrogate training) runs in a SUBPROCESS on the default
+accelerator in float32 — the reference itself trains in float32 torch
+(optionally on GPU, Model_training.py:16), so accelerator training is the
+parity-faithful fast path; the solver stages stay float64 CPU. Pass
+--train-cpu to force stage 3 onto the CPU too.
+
 Usage: python scripts/full_reference_run.py [--epochs N] [--steps N]
 Writes artifacts under runs/full_reference/ and a summary JSON.
 """
@@ -29,6 +35,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--steps", type=int, default=100_000)
     ap.add_argument("--out", type=str, default="runs/full_reference")
+    ap.add_argument("--train-cpu", action="store_true",
+                    help="run stage 3 in-process on CPU instead of the "
+                         "accelerator subprocess")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -62,7 +71,26 @@ def main():
     stamps["stage1_done"] = time.time()
     shared_extraction.run(cfg)
     stamps["stage2_done"] = time.time()
-    model_training.run(cfg)
+    if args.train_cpu:
+        model_training.run(cfg)
+    else:
+        # accelerator training subprocess (f32, like the reference's
+        # torch); JAX_PLATFORMS is unset so the default backend is used
+        import os
+        import subprocess
+
+        cfg_path = out / "train_cfg.json"
+        out.mkdir(parents=True, exist_ok=True)
+        cfg.to_json(cfg_path)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "savtpu.pipeline.model_training",
+             "--config", str(cfg_path)],
+            cwd=str(Path(__file__).resolve().parents[1]), env=env,
+        )
+        if r.returncode != 0:
+            raise RuntimeError("accelerator training subprocess failed")
     stamps["stage3_done"] = time.time()
     online_predictor.run(cfg, ctx=ctx)
     stamps["stage4_done"] = time.time()

@@ -225,3 +225,31 @@ def test_metrics_jsonl_written(tmp_path):
     assert recs["stage1_solve"]["steps_per_sec"] > 0
     assert recs["stage4_online"]["comm_free_fraction"] > 0.5
     assert len(recs["stage3_train_stacked"]["final_val_r2"]) == 2
+
+
+def test_prediction_consensus():
+    """Duplicated shared DOFs get each owner's prediction averaged; exact
+    (already-consistent) rows are a fixed point; pads untouched semantics
+    (masked out of the average)."""
+    from savtpu.pipeline.online_predictor import prediction_consensus
+
+    # 3 parts, 2 shared slots each, SD = 4 global shared DOFs
+    sgi = np.array([[0, 1], [1, 2], [2, 3]])
+    smask = np.array([[1.0, 1.0], [1.0, 1.0], [1.0, 0.0]])
+    preds = np.zeros((3, 2, 2))
+    preds[0, :, :] = [[1.0, 2.0], [10.0, 20.0]]
+    preds[1, :, :] = [[4.0, 6.0], [40.0, 60.0]]
+    preds[2, :, :] = [[8.0, 99.0], [80.0, 99.0]]
+    out = np.asarray(prediction_consensus(preds, sgi, smask, 4))
+    # dof1 owned by parts 0 (slot 1) and 1 (slot 0): mean(2,4)=3
+    assert out[0, 0, 1] == 3.0 and out[1, 0, 0] == 3.0
+    assert out[1, 1, 0] == 30.0 and out[0, 1, 1] == 30.0
+    # dof2 owned by parts 1 (slot 1) and 2 (slot 0): mean(6,8)=7
+    assert out[1, 0, 1] == 7.0 and out[2, 0, 0] == 7.0
+    # dof0 single-owner: unchanged
+    assert out[0, 0, 0] == 1.0
+    # consistent input is a fixed point
+    again = np.asarray(prediction_consensus(out, sgi, smask, 4))
+    real = smask[:, None, :] > 0
+    assert np.allclose(again[np.broadcast_to(real, again.shape)],
+                       out[np.broadcast_to(real, out.shape)])
