@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import HIGHEST
+
 
 def element_dofs(cells: np.ndarray) -> np.ndarray:
     """(E, 3*nb) int32 interleaved DOF indices per element."""
@@ -138,7 +140,7 @@ class FIntOperator:
     def __call__(self, d):
         d = d.reshape(-1)
         if self.mode == "dense":
-            return self._dense @ d
+            return jnp.dot(self._dense, d, precision=HIGHEST)
         if self.mode == "bcoo":
             return self._bcoo @ d
         # element-by-element (multiply+reduce: einsum('eij,ej->ei') lowers

@@ -12,6 +12,8 @@ M_e = sum_q rho N_i N_j detJ w_q (x I3), F_e = sum_q N_i f(X_q, t) detJ w_q.
 from __future__ import annotations
 
 import jax
+
+from .precision import with_fem_precision
 import jax.numpy as jnp
 import numpy as np
 
@@ -132,6 +134,7 @@ def element_k(deg: int, n_quad: int, material, P):
     return K
 
 
+@with_fem_precision
 def batch_element_mkf(deg: int, n_quad: int, material, t, coords):
     """Vmapped element integrals over coords (E, nb, 3):
     returns (M (E,3nb,3nb), K (E,3nb,3nb), F (E,3nb))."""
@@ -139,6 +142,7 @@ def batch_element_mkf(deg: int, n_quad: int, material, t, coords):
     return jax.vmap(fn)(coords)
 
 
+@with_fem_precision
 def batch_element_k(deg: int, n_quad: int, material, coords):
     fn = lambda P: element_k(deg, n_quad, material, P)
     return jax.vmap(fn)(coords)
@@ -152,6 +156,7 @@ def gather_coords(cells: np.ndarray, points: np.ndarray, dtype=None):
     return jnp.asarray(coords)
 
 
+@with_fem_precision
 def neo_hookean_element_fint(material, P, d_e):
     """Internal force (3nb,) of one P1 tet under Neo-Hookean stress, for the
     nonlinear matrix-free stepper. P (4,3) reference coords, d_e (12,)

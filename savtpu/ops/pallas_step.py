@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precision import HIGHEST
+
 TILE = 128  # column tile of the matvec; DL is padded to a multiple of this
 
 
@@ -57,7 +59,8 @@ def _interpret() -> bool:
 def _matvec_kernel(K_ref, d_ref, out_ref):
     # row-layout matvec via symmetry: out = d_row @ K[:, tile]
     out_ref[0, 0, :] = jnp.dot(
-        d_ref[0], K_ref[0], preferred_element_type=d_ref.dtype
+        d_ref[0], K_ref[0], preferred_element_type=d_ref.dtype,
+        precision=HIGHEST,
     )[0]
 
 
@@ -128,7 +131,8 @@ def _scan_kernel(
         f_int = jnp.concatenate(
             [
                 jnp.dot(d0[p : p + 1, :], K_ref[p],
-                        preferred_element_type=d0.dtype)
+                        preferred_element_type=d0.dtype,
+                        precision=HIGHEST)
                 for p in range(n_parts)
             ],
             axis=0,
@@ -147,7 +151,8 @@ def _scan_kernel(
             pred_sc = jnp.concatenate(
                 [
                     jnp.dot(preds_ref[p, i, :][None, :], G_ref[p],
-                            preferred_element_type=d1.dtype)
+                            preferred_element_type=d1.dtype,
+                            precision=HIGHEST)
                     for p in range(n_parts)
                 ],
                 axis=0,
@@ -158,7 +163,7 @@ def _scan_kernel(
                 # row = d1[p] @ G[p]^T, via symmetry-free explicit dot
                 shared_out[p, i, :] = jnp.dot(
                     G_ref[p], d1[p, :][:, None],
-                    preferred_element_type=d1.dtype,
+                    preferred_element_type=d1.dtype, precision=HIGHEST,
                 )[:, 0]
         return (d1, d0)
 
@@ -229,6 +234,12 @@ def pallas_scan_comm_free(
             flops=2 * P * num_steps * DL * DL,
             bytes_accessed=K.dtype.itemsize * P * (DL * DL + 6 * DL),
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the resident set (all parts' K + traces) intentionally
+            # exceeds Mosaic's default 16 MiB scoped-vmem budget; v5e has
+            # 128 MiB physical VMEM
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=_interpret(),
     )(scal, K, d0, dn, F_pre, lM, bc, G, preds)

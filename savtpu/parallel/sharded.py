@@ -394,10 +394,17 @@ class ShardedProblem:
     # emulation and inside shard_map where the local block has 1 part)
     # ------------------------------------------------------------------
     def _fint_stacked(self, d):  # d (p, DL)
+        from ..ops.precision import HIGHEST
+
         if self.fint_mode == "dense":
             # NB: vmapped jnp.dot — jnp.einsum('pij,pj->pi') lowers to a
-            # catastrophically slow kernel on TPU (measured 30x slower)
-            return jax.vmap(jnp.dot)(self.denseK, d)
+            # catastrophically slow kernel on TPU (measured 30x slower).
+            # precision=HIGHEST is NON-NEGOTIABLE: the default single
+            # bf16 MXU pass gives ~2.2 RELATIVE error on this
+            # cancellation-heavy matvec (savtpu.ops.precision docstring).
+            return jax.vmap(
+                lambda K, x: jnp.dot(K, x, precision=HIGHEST)
+            )(self.denseK, d)
 
         if self.fint_mode == "pallas":
             from ..ops.pallas_step import batched_fint_matvec
@@ -413,16 +420,19 @@ class ShardedProblem:
                 x = jnp.zeros((nc * Bk,), dtype=dp.dtype)
                 x = x.at[: self.DL - 1].set(dp[: self.DL - 1])
                 xc = x.reshape(nc, Bk)
-                y = jax.vmap(jnp.dot)(Kd, xc)
+                dot = lambda A, v: jnp.dot(A, v, precision=HIGHEST)
+                y = jax.vmap(dot)(Kd, xc)
                 zero = jnp.zeros((1, Bk), dtype=dp.dtype)
-                y = y + jax.vmap(jnp.dot)(
+                y = y + jax.vmap(dot)(
                     Kl, jnp.concatenate([zero, xc[:-1]])
                 )
                 Kl_next = jnp.concatenate(
                     [Kl[1:], jnp.zeros((1, Bk, Bk), dtype=Kl.dtype)]
                 )
                 xp = jnp.concatenate([xc[1:], zero])
-                y = y + jax.vmap(lambda A, v: A.T @ v)(Kl_next, xp)
+                y = y + jax.vmap(
+                    lambda A, v: jnp.dot(A.T, v, precision=HIGHEST)
+                )(Kl_next, xp)
                 return jnp.concatenate(
                     [
                         y.reshape(-1)[: self.DL - 1],

@@ -78,6 +78,36 @@ def setup_problem(
     mesh: Optional[Mesh] = None,
     dtype=jnp.float64,
 ) -> AssembledProblem:
+    """Assemble the problem — ALWAYS in float64 on the host CPU, then cast
+    to ``dtype``. Assembling in the run dtype was measured to cost ~500x
+    trajectory accuracy at f32 (element integrals, lumped mass and the
+    ghost init all lose bits that the stepper then amplifies over 1e5
+    steps); f64-assembled arrays cast to f32 track the f64 trajectory to
+    ~4e-4 at 25k steps on TPU (with the HIGHEST-precision matvec)."""
+    import contextlib
+
+    import jax
+
+    try:
+        from jax._src.config import enable_x64 as _x64_ctx
+    except ImportError:  # pragma: no cover - much older/newer jax
+        _x64_ctx = lambda v: contextlib.nullcontext()
+    try:
+        cpu_ctx = jax.default_device(jax.devices("cpu")[0])
+    except Exception:  # pragma: no cover - no cpu backend registered
+        cpu_ctx = contextlib.nullcontext()
+    with _x64_ctx(True), cpu_ctx:
+        prob = _setup_problem_f64(cfg, mesh)
+    if jnp.dtype(dtype) != jnp.float64:
+        prob = prob.with_dtype(dtype)
+    return prob
+
+
+def _setup_problem_f64(
+    cfg: Config,
+    mesh: Optional[Mesh] = None,
+    dtype=jnp.float64,
+) -> AssembledProblem:
     mat_cfg = cfg.material
     sol = cfg.solver
     if mesh is None:

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.precision import HIGHEST as _HIGHEST
+
 from ..ops.assembly import apply_dirichlet_dense, assemble_dense, assemble_vector
 
 
@@ -42,7 +44,9 @@ def ghost_step_init(Me, Ke, Fe_t0, edofs, ndof: int, dirichlet_dofs, d0, v0, dt:
     M = M.at[d, d].set(1.0)
     K = K * keep[:, None] * keep[None, :]
     F = F * keep
-    a0 = jnp.linalg.solve(M, F - K @ d0)
+    a0 = jnp.linalg.solve(
+        M, F - jnp.dot(K, d0, precision=_HIGHEST)
+    )
     return d0 - dt * v0 + 0.5 * dt * dt * a0
 
 

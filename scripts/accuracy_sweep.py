@@ -30,6 +30,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
+if "--f64" in sys.argv:
+    # f64 method-accuracy mode: the f32 trajectory rel-L2 has an intrinsic
+    # ~5-10% noise floor over 1e5 steps (docs/PRECISION.md) that masks the
+    # surrogate's real error; f64 on CPU removes it.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -47,6 +54,8 @@ def main():
         "--variants", type=str, default="W1=1,W3=3,W6=6",
         help="comma-separated name=rollout_windows",
     )
+    ap.add_argument("--f64", action="store_true",
+                    help="float64 on CPU (method-accuracy mode)")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -84,7 +93,9 @@ def main():
         base.surrogate.num_epochs = args.epochs
 
     t0 = time.time()
-    ctx = build_context(base, dtype=jnp.float32)
+    ctx = build_context(
+        base, dtype=jnp.float64 if args.f64 else jnp.float32
+    )
     data_prepare.run(base, ctx=ctx)
     shared_extraction.run(base)
     t_data = time.time() - t0
