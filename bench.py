@@ -99,15 +99,19 @@ def main():
         prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
     )
 
-    # device path in float32 (benchmark dtype; parity runs use f64 on host)
-    sp = ShardedProblem.build(prob, maps, fint_mode="dense", dtype=jnp.float32)
-    solver = ShardedSolver(sp, mesh=None)  # single-chip emulated shards
-    d0 = sp.localize(np.zeros(prob.ndof, np.float32))
-    dn = sp.localize(np.zeros(prob.ndof, np.float32))
-
+    # device path in float32 (benchmark dtype; parity runs use f64 on
+    # host). Each mode uses its measured-best F_int strategy: the
+    # VMEM-resident pallas whole-scan kernel for the comm-free headline,
+    # the dense HBM-streaming matvec for the exchanged path.
     n_steps = 30_000
 
-    def timed(sync):
+    def timed(fint_mode, sync):
+        sp = ShardedProblem.build(
+            prob, maps, fint_mode=fint_mode, dtype=jnp.float32
+        )
+        solver = ShardedSolver(sp, mesh=None)  # single-chip emulated
+        d0 = sp.localize(np.zeros(prob.ndof, np.float32))
+        dn = sp.localize(np.zeros(prob.ndof, np.float32))
         (_, _), carry = solver.run(
             d0, dn, 0.0, n_steps, sync=sync, record="none"
         )  # compile
@@ -119,8 +123,8 @@ def main():
         jax.block_until_ready(carry)
         return n_steps / (time.perf_counter() - t0)
 
-    avoid_sps = timed(sync=False)
-    exch_sps = timed(sync=True)
+    avoid_sps = timed("pallas", sync=False)
+    exch_sps = timed("dense", sync=True)
     base_sps = _numpy_baseline_steps_per_sec(prob, maps)
 
     n_elem = len(prob.mesh.tetra)
