@@ -58,6 +58,9 @@ class SolverConfig:
                                  # all-reduce) | "permute" (neighbor-packed
                                  # collective_permute rounds)
     dtype: str = "float64"    # state dtype for the time loop
+    compensated: bool = False  # double-word (hi, lo) f32 state roll:
+                               # f64-class trajectories on TPU hardware
+                               # that has no float64 (docs/PRECISION.md)
 
 
 @dataclass

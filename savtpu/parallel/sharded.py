@@ -170,6 +170,13 @@ class ShardedProblem:
     sgi: jnp.ndarray             # (P, 3*S_max) index into global shared DOFs
     smask: jnp.ndarray           # (P, 3*S_max) 1 on real shared slots
     fint_mode: str = "dense"
+    # compensated (double-word float32) time integration: the scan carries
+    # the state as an unevaluated (hi, lo) float pair plus the exact last
+    # increment v = d1 - d0, so the per-step state-roll rounding drops from
+    # ulp(d) to ~ulp(d)^2. This removes the dominant source of the f32
+    # trajectory noise floor (docs/PRECISION.md §3) without float64, which
+    # TPUs do not have.
+    compensated: bool = False
     maps: Optional[PartitionMaps] = None
     # one-hot shared-DOF selectors (fint_mode == 'pallas'): (P, 3*S_max, DL)
     # rows are e_sld[p,s]*smask[p,s] — gather/scatter as MXU matmuls
@@ -199,6 +206,7 @@ class ShardedProblem:
         fint_mode: str = "auto",
         dtype=None,
         exchange_mode: str = "psum",
+        compensated: bool = False,
     ) -> "ShardedProblem":
         valid_modes = {"auto", "dense", "banded", "ell", "ebe", "pallas"}
         if fint_mode not in valid_modes:
@@ -340,6 +348,7 @@ class ShardedProblem:
             )
 
         return cls(
+            compensated=compensated,
             exchange_mode=exchange_mode,
             **nx_kwargs,
             shared_onehot=shared_onehot,
@@ -513,6 +522,27 @@ class ShardedProblem:
             )
         return out
 
+    def _translation_mean(self, d):
+        """Per-part, per-component mean displacement as a (P, DL) uniform
+        translation field (pad/dummy slots zero).
+
+        Every element stiffness annihilates rigid translations, so
+        K @ (d - tbar) == K @ d exactly — but only in exact arithmetic:
+        rounding K to f32 breaks the row nullspace, and K_f32 @ tbar is the
+        dominant systematic matvec error in compensated mode (measured 28x:
+        scripts/scratch_floor.py). Subtracting tbar before the product
+        removes it for one vector mean + subtract per step."""
+        P, DL = d.shape
+        L = (DL - 1) // 3
+        m = self.dof_mask[:, : DL - 1].reshape(P, L, 3)
+        dm = (d[:, : DL - 1] * self.dof_mask[:, : DL - 1]).reshape(P, L, 3)
+        mean = dm.sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        tbar = jnp.concatenate(
+            [jnp.tile(mean, (1, L)), jnp.zeros((P, 1), dtype=d.dtype)],
+            axis=1,
+        )
+        return tbar * self.dof_mask
+
     def _update(self, d0, dn, tn, F_int):
         dt, alpha = self.dt, self.alpha
         ramp = (
@@ -565,10 +595,11 @@ class ShardedProblem:
         always recorded at full temporal resolution (it is small and feeds
         the online predictor's per-step history)."""
         dt = self.dt
+        dtype = d0.dtype
+        t0 = jnp.asarray(t0, dtype=dtype)
 
-        def step(carry, x):
-            d0, dn, tn = carry
-            F_int = self._fint_stacked(d0)
+        def _synced_fint(d):
+            F_int = self._fint_stacked(d)
             if sync:
                 if self.exchange_mode == "permute":
                     F_int = self._exchange_permute(
@@ -576,12 +607,82 @@ class ShardedProblem:
                     )
                 else:
                     F_int = self._exchange(F_int, reduce_fn)
-            d1 = self._update(d0, dn, tn, F_int)
-            if x is not None:
-                d1 = self._scatter_pred(d1, x)
-            return (d1, d0, tn + dt), d1
+            return F_int
 
-        t0 = jnp.asarray(t0, dtype=d0.dtype)
+        if not self.compensated:
+
+            def step(carry, x):
+                d0c, dnc, tn = carry
+                F_int = _synced_fint(d0c)
+                d1 = self._update(d0c, dnc, tn, F_int)
+                if x is not None:
+                    d1 = self._scatter_pred(d1, x)
+                return (d1, d0c, tn + dt), d1
+
+            carry0 = (d0, dn, t0)
+            lower = lambda c: c
+        else:
+            # Compensated (double-word) integration. The update is recast
+            # in incremental form: with beta = alpha*dt/2 and
+            # v_n = d_n - d_{n-1},
+            #   d_{n+1} = d_n + [ (1-beta)*v_n + dt^2*(F_ext-F_int)/M ]
+            #             / (1+beta)
+            # (algebraically identical to _update / the reference formula,
+            # Tools/Dynamic_solver.py:17). The increment delta is tiny
+            # relative to d, so it is computed accurately in f32; the state
+            # roll d + delta — whose ulp(d) rounding is the dominant noise
+            # source of the f32 trajectory floor (docs/PRECISION.md) — is
+            # done with an error-free TwoSum into an unevaluated (hi, lo)
+            # pair. v is carried as the *applied* increment, so it never
+            # suffers the d1 - d0 cancellation.
+            beta = 0.5 * float(self.alpha) * float(dt)
+            c1 = jnp.asarray((1.0 - beta) / (1.0 + beta), dtype=dtype)
+            c2 = jnp.asarray(float(dt) ** 2 / (1.0 + beta), dtype=dtype)
+            dtc = jnp.asarray(dt, dtype=dtype)
+            one = jnp.ones((), dtype=dtype)
+
+            def step(carry, x):
+                d_hi, d_lo, v, i = carry
+                # rigid-translation removal: see _translation_mean
+                F_int = _synced_fint(d_hi - self._translation_mean(d_hi))
+                # t from the step index (one rounding) instead of a running
+                # f32 accumulation (random-walk rounding of the ramp)
+                tn = t0 + dtc * i
+                ramp = linear_ramp(tn) if self.ramped else one
+                delta = (
+                    c1 * v + c2 * ((self.F_pre * ramp - F_int) / self.lM)
+                ) * self.bc_mask
+                if x is not None:
+                    # overwrite shared DOFs with the prediction
+                    # (Online_predictor.py:298): in incremental form the
+                    # increment at a shared slot is pred - current
+                    cur = jax.vmap(lambda h, l, s: h[s] + l[s])(
+                        d_hi, d_lo, self.sld
+                    )
+                    tgt = (x - cur) * self.smask
+                    delta = jax.vmap(lambda dl, s, t: dl.at[s].set(t))(
+                        delta, self.sld, tgt
+                    )
+                    delta = delta.at[:, self.DL - 1].set(0.0)
+                # TwoSum(d_hi, delta) + renormalize (Knuth/Dekker EFTs)
+                s = d_hi + delta
+                z = s - d_hi
+                e = (d_hi - (s - z)) + (delta - z)
+                lo = d_lo + e
+                hi2 = s + lo
+                lo2 = lo - (hi2 - s)
+                return (hi2, lo2, delta, i + one), hi2
+
+            # v0 = d0 - dn is exact in fp for smooth states (Sterbenz);
+            # the lo word starts empty — chunked callers re-enter here,
+            # injecting at most one ulp(d) perturbation per chunk
+            carry0 = (d0, jnp.zeros_like(d0), d0 - dn, jnp.zeros((), dtype))
+
+            def lower(c):
+                d_hi, d_lo, v, i = c
+                d1 = d_hi + d_lo
+                return (d1, d1 - v, t0 + dtc * i)
+
         want_shared = record in ("all", "shared")
 
         if save_every == 1:
@@ -598,8 +699,9 @@ class ShardedProblem:
             if preds is not None:
                 xs = jnp.moveaxis(preds, 1, 0)  # scan over time axis
             carry, (traj, shared) = jax.lax.scan(
-                body, (d0, dn, t0), xs, length=num_steps,
+                body, carry0, xs, length=num_steps,
             )
+            carry = lower(carry)
             if traj is not None:
                 traj = jnp.moveaxis(traj, 0, 1)  # (P, T, DL)
             if shared is not None:
@@ -643,8 +745,9 @@ class ShardedProblem:
                 num_blocks, save_every, *preds.shape[::2]
             )
         carry, (traj, shared) = jax.lax.scan(
-            block, (d0, dn, t0), xs, length=num_blocks,
+            block, carry0, xs, length=num_blocks,
         )
+        carry = lower(carry)
         if traj is not None:
             traj = jnp.moveaxis(traj, 0, 1)  # (P, T//save_every, DL)
         if shared is not None:
@@ -723,6 +826,7 @@ class ShardedSolver:
             self.mesh is not None
             or sync
             or sp.fint_mode != "pallas"
+            or sp.compensated
             or record not in ("none", "shared")
             or save_every != 1
         ):

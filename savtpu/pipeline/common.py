@@ -67,6 +67,7 @@ def build_context(
     sp = ShardedProblem.build(
         prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype,
         exchange_mode=cfg.solver.exchange_mode,
+        compensated=cfg.solver.compensated,
     )
     solver = ShardedSolver(sp, mesh=device_mesh)
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())

@@ -56,6 +56,9 @@ def main():
     )
     ap.add_argument("--f64", action="store_true",
                     help="float64 on CPU (method-accuracy mode)")
+    ap.add_argument("--compensated", action="store_true",
+                    help="double-word f32 state roll (TPU method-accuracy "
+                         "mode, docs/PRECISION.md)")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -79,6 +82,7 @@ def main():
     base.model_dir = str(out / "models")
     base.partition.n_parts = args.parts
     base.solver.num_steps = args.steps
+    base.solver.compensated = args.compensated
     # coarsen storage as much as the schedule allows (must divide both
     # num_steps and filter_size): training windows are bit-identical
     # (effective_filter) and the trajectory transfer off the chip shrinks

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--cells", type=int, nargs=3, default=(48, 4, 4))
     ap.add_argument("--out", type=str, default="runs/scale_demo")
+    ap.add_argument("--compensated", action="store_true",
+                    help="double-word f32 state roll (docs/PRECISION.md)")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -55,6 +57,12 @@ def main():
     cfg.model_dir = str(out / "Distributed_save")
     cfg.partition.n_parts = args.parts
     cfg.solver.num_steps = args.steps
+    cfg.solver.compensated = args.compensated
+    # store the trajectory as coarsely as the surrogate schedule allows;
+    # the shared-DOF history stays full-resolution (stacked_run docstring)
+    import math
+
+    cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
     cfg.surrogate.stacked = True
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
