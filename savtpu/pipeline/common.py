@@ -64,10 +64,15 @@ def build_context(
     maps = build_partition_maps(
         prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
     )
+    compensated = cfg.solver.compensated
+    if compensated is None:
+        # auto: compensate f32 runs (docs/PRECISION.md §4 — zero cost,
+        # ~800x trajectory accuracy); f64 keeps the plain parity formula
+        compensated = jnp.dtype(dtype).itemsize <= 4
     sp = ShardedProblem.build(
         prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype,
         exchange_mode=cfg.solver.exchange_mode,
-        compensated=cfg.solver.compensated,
+        compensated=compensated,
     )
     solver = ShardedSolver(sp, mesh=device_mesh)
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
