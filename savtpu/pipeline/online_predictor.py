@@ -157,8 +157,15 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             fmask_v[r, : 3 * len(maps.shared_nodes[r])] = 1.0
         fmask_v = jnp.asarray(fmask_v, dtype=jnp.dtype(sur.dtype))
 
-    # shared-DOF history (P, num_steps, 3*S_max) — feeds the predictor
-    shared_hist = np.zeros((P, num_steps, S3))
+    # shared-DOF history — feeds the predictor. The stacked fast path only
+    # ever reads the trailing W = n_past*filter_size rows, so it keeps a
+    # device-resident rolling window (no per-block device<->host transfer
+    # of the shared trace); the per-rank fallback keeps the full host
+    # history.
+    W = sur.n_past * sur.filter_size
+    shared_hist = None
+    if not stacked_ok:
+        shared_hist = np.zeros((P, num_steps, S3))
 
     # in-scan save_every stride when every scan segment length divides
     # evenly (the reference schedule always does: n_sync = n_p*n_s and
@@ -176,8 +183,24 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     (traj0, shared0), carry = solver.run_streamed(
         d0, dn, 0.0, n_sync, sync=True, record="all", save_every=se_run
     )
-    shared_hist[:, :n_sync] = shared0
+    if shared_hist is not None:
+        shared_hist[:, :n_sync] = shared0
     trajs = [traj0]
+
+    if stacked_ok:
+        import jax
+
+        # device-resident trailing history window (one H2D at start)
+        hist_dev = jnp.asarray(
+            shared0[:, -W:], dtype=jnp.dtype(sur.dtype)
+        )
+
+        if sur.pred_consensus:
+            consensus = jax.jit(
+                lambda pr: prediction_consensus(
+                    pr, sp.sgi, sp.smask, sp.SD
+                )
+            )
 
     i = n_sync
     while i < num_steps:
@@ -185,25 +208,23 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
         if stacked_ok:
             from ..models.predictor import phase_interleaved_predict_stacked
 
-            W = sur.n_past * sur.filter_size
-            hist = jnp.asarray(
-                shared_hist[:, i - W : i, :], dtype=jnp.dtype(sur.dtype)
-            )
             blockpred = phase_interleaved_predict_stacked(
-                stacked_params, hist, smax_v, smin_v,
+                stacked_params, hist_dev, smax_v, smin_v,
                 sur.n_past, sur.n_future, sur.filter_size,
                 feat_mask=fmask_v,
             )
-            preds = jnp.asarray(blockpred[:, :n, :], dtype=state_dtype)
+            preds = blockpred[:, :n, :].astype(state_dtype)
             if sur.pred_consensus:
-                preds = prediction_consensus(preds, sp.sgi, sp.smask, sp.SD)
+                preds = consensus(preds)
             d0c, dnc, tc = carry
             (traj_b, shared_b), carry = solver.run(
                 d0c, dnc, tc, n, sync=False, preds=preds,
                 save_every=se_run,
             )
-            shared_hist[:, i : i + n] = np.asarray(shared_b)
-            trajs.append(np.asarray(traj_b))
+            hist_dev = jnp.concatenate(
+                [hist_dev, shared_b.astype(hist_dev.dtype)], axis=1
+            )[:, -W:]
+            trajs.append(traj_b)
             i += n
             if verbose:
                 print(f"[online] step {i}/{num_steps}")

@@ -21,11 +21,43 @@ def steady_solve(Ke, Fe, edofs, ndof: int, dirichlet_dofs):
     """Solve K d = F with strong Dirichlet (unit-diagonal rows).
 
     Equivalent to Global_Assembly(steady=True) + the row fix-up at
-    Steady_solvers.py:16-22."""
-    K = assemble_dense(Ke, edofs, ndof)
-    F = assemble_vector(Fe, edofs, ndof)
-    K, F = apply_dirichlet_dense(K, F, dirichlet_dofs)
-    return jnp.linalg.solve(K, F)
+    Steady_solvers.py:16-22. Small systems use the dense jnp solve (the
+    reference's LAPACK path); beyond ~6k DOFs the dense LU neither fits
+    TPU VMEM nor makes sense, so the once-per-run solve drops to a host
+    sparse direct factorization in f64 (setup-time host work, like the
+    reference's rank-0 LAPACK)."""
+    if ndof <= 6000:
+        K = assemble_dense(Ke, edofs, ndof)
+        F = assemble_vector(Fe, edofs, ndof)
+        K, F = apply_dirichlet_dense(K, F, dirichlet_dofs)
+        return jnp.linalg.solve(K, F)
+    return _steady_solve_sparse_host(Ke, Fe, edofs, ndof, dirichlet_dofs)
+
+
+def _steady_solve_sparse_host(Ke, Fe, edofs, ndof, dirichlet_dofs):
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spsla
+
+    Ke_h = np.asarray(Ke, dtype=np.float64)
+    ed = np.asarray(edofs)
+    nb = ed.shape[1]
+    rows = np.repeat(ed, nb, axis=1).reshape(-1)
+    cols = np.tile(ed, (1, nb)).reshape(-1)
+    K = sps.coo_matrix(
+        (Ke_h.reshape(-1), (rows, cols)), shape=(ndof, ndof)
+    ).tocsr()
+    F = np.zeros(ndof)
+    np.add.at(F, ed.reshape(-1), np.asarray(Fe, np.float64).reshape(-1))
+    d = np.asarray(dirichlet_dofs)
+    # unit-diagonal Dirichlet rows (Steady_solvers.py:16-21): zero the
+    # rows/cols, set diag 1, zero the rhs entries
+    keep = np.ones(ndof)
+    keep[d] = 0.0
+    Dk = sps.diags(keep)
+    K = Dk @ K @ Dk + sps.diags(1.0 - keep)
+    F *= keep
+    x = spsla.spsolve(K.tocsc(), F)
+    return jnp.asarray(x, dtype=jnp.asarray(Ke).dtype)
 
 
 def ghost_step_init(Me, Ke, Fe_t0, edofs, ndof: int, dirichlet_dofs, d0, v0, dt: float):

@@ -77,6 +77,19 @@ def test_steady_matches_oracle():
     assert d[3 * tip_node + 1] < 0 and d[3 * tip_node + 2] < 0
 
 
+def test_steady_sparse_host_matches_dense():
+    """The >6k-DOF host sparse-direct path must agree with the dense jnp
+    solve (same Dirichlet unit-diagonal treatment)."""
+    from savtpu.solvers.steady import _steady_solve_sparse_host
+
+    mesh, mat, edofs, Me, Ke, Fe, ddofs = _small_problem()
+    dd = np.asarray(steady_solve(Ke, Fe, edofs, mesh.num_dofs, ddofs))
+    ds = np.asarray(
+        _steady_solve_sparse_host(Ke, Fe, edofs, mesh.num_dofs, ddofs)
+    )
+    assert np.linalg.norm(dd - ds) / np.linalg.norm(dd) < 1e-10
+
+
 def test_explicit_matches_oracle_trajectory():
     cfg = Config()
     cfg.beam_cells = (4, 1, 1)
