@@ -37,7 +37,8 @@ from savtpu.parallel.sharded import ShardedSolver
 from savtpu.solvers import setup_problem
 
 
-def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum"):
+def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
+               compensated=False):
     cfg = Config()
     cfg.beam_cells = (nx, ny, nz)
     cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
@@ -51,7 +52,7 @@ def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum"):
     )
     sp = ShardedProblem.build(
         prob, maps, fint_mode=mode, dtype=jnp.float32,
-        exchange_mode=exchange,
+        exchange_mode=exchange, compensated=compensated,
     )
     sol = ShardedSolver(sp)
     d0 = sp.localize(np.zeros(prob.ndof, np.float32))
@@ -64,6 +65,7 @@ def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum"):
         "DL": sp.DL,
         "fint_mode": sp.fint_mode,
         "exchange_mode": exchange,
+        "compensated": compensated,
     }
     for sync, name in ((False, "sync_avoiding"), (True, "exchanged")):
         (_, _), c = sol.run(d0, d0, 0.0, steps, sync=sync, record="none")
@@ -97,6 +99,9 @@ CASES = [
     # exchanged-path halo variants (psum vs neighbor-packed permute)
     (96, 8, 8, 64, "dense", 2000, "permute"),
     (192, 12, 12, 64, "banded", 1000, "permute"),
+    # compensated (double-word f32) overhead check at two scales
+    (48, 4, 4, 8, "dense", 5000, "psum", True),
+    (192, 12, 12, 64, "banded", 1000, "psum", True),
 ]
 
 QUICK = [(25, 1, 1, 2, "dense", 5000), (48, 4, 4, 8, "ell", 2000)]
