@@ -442,14 +442,6 @@ def fit_stacked(
         out = chained_predict(params, Xs, n_future, n_windows, feat_mask=fm)
         return jnp.stack(masked_metrics(out, Ys, fm))
 
-    def epoch_all(params, opt_state, perms, nkeys):
-        return jax.vmap(one_shard_epoch)(
-            params, opt_state, Xtr, Ytr, feat_mask, perms, nkeys
-        )
-
-    def eval_all(params):
-        return jax.vmap(one_shard_eval)(params, Xva, Yva, feat_mask)
-
     if mesh is not None:
         # pjit-style model parallelism: every stacked tensor is sharded on
         # its leading per-shard axis; the vmapped epoch is embarrassingly
@@ -467,34 +459,41 @@ def fit_stacked(
     base_key = jax.random.PRNGKey(cfg.seed + 2)
     nbase_key = jax.random.PRNGKey(cfg.seed + 3)
 
-    def epoch_body(carry, eidx):
-        params, opt_state = carry
-        pkeys = jax.vmap(
-            lambda sh: jax.random.fold_in(
-                jax.random.fold_in(base_key, eidx), sh
-            )
-        )(jnp.arange(Pn))
-        perms = jax.vmap(
-            lambda k: jax.random.permutation(k, n_train)
-        )(pkeys)
-        nkeys = jax.vmap(
-            lambda sh: jax.random.fold_in(
-                jax.random.fold_in(nbase_key, eidx), sh
-            )
-        )(jnp.arange(Pn))
-        params, opt_state, tl = epoch_all(params, opt_state, perms, nkeys)
-        vl = eval_all(params)
-        return (params, opt_state), (tl, vl)
-
     # the WHOLE training (all epochs, shuffling, validation) is one jitted
-    # scan -> a single device dispatch; essential over high-latency links
+    # scan -> a single device dispatch; essential over high-latency links.
+    # The datasets are jit ARGUMENTS, not closure captures: captured arrays
+    # become HLO constants, and at 16+ shards the embedded ~100MB blows the
+    # remote-compile request limit (HTTP 413) and the compile cache.
     @jax.jit
-    def run(params, opt_state):
+    def run(params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask):
+        def epoch_body(carry, eidx):
+            params, opt_state = carry
+            pkeys = jax.vmap(
+                lambda sh: jax.random.fold_in(
+                    jax.random.fold_in(base_key, eidx), sh
+                )
+            )(jnp.arange(Pn))
+            perms = jax.vmap(
+                lambda k: jax.random.permutation(k, n_train)
+            )(pkeys)
+            nkeys = jax.vmap(
+                lambda sh: jax.random.fold_in(
+                    jax.random.fold_in(nbase_key, eidx), sh
+                )
+            )(jnp.arange(Pn))
+            params, opt_state, tl = jax.vmap(one_shard_epoch)(
+                params, opt_state, Xtr, Ytr, feat_mask, perms, nkeys
+            )
+            vl = jax.vmap(one_shard_eval)(params, Xva, Yva, feat_mask)
+            return (params, opt_state), (tl, vl)
+
         return jax.lax.scan(
             epoch_body, (params, opt_state), jnp.arange(cfg.epochs)
         )
 
-    (params, opt_state), (tl, vl) = run(params, opt_state)
+    (params, opt_state), (tl, vl) = run(
+        params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask
+    )
     tl, vl = np.asarray(tl), np.asarray(vl)  # (epochs, P, 3)
     hist = {}
     for j, k in enumerate(("loss", "r2", "rel")):

@@ -26,8 +26,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if "--tpu" not in sys.argv:
+    # parity dtype: float64 on CPU. --tpu instead runs everything on the
+    # accelerator in float32 with compensated integration (f64-class
+    # trajectories without f64, docs/PRECISION.md).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
 
 
 def main():
@@ -38,6 +43,9 @@ def main():
     ap.add_argument("--train-cpu", action="store_true",
                     help="run stage 3 in-process on CPU instead of the "
                          "accelerator subprocess")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the whole pipeline on the accelerator in "
+                         "f32 + compensated integration")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -52,6 +60,8 @@ def main():
     cfg.model_dir = str(out / "Distributed_save")
     cfg.partition.n_parts = 2
     cfg.solver.num_steps = args.steps
+    if args.tpu:
+        import jax.numpy as jnp
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
 
@@ -65,13 +75,15 @@ def main():
     )
     from savtpu.pipeline.common import build_context
 
-    ctx = build_context(cfg)
+    ctx = build_context(
+        cfg, dtype=jnp.float32 if args.tpu else None
+    ) if args.tpu else build_context(cfg)
     stamps["setup_done"] = time.time()
     data_prepare.run(cfg, ctx=ctx)
     stamps["stage1_done"] = time.time()
     shared_extraction.run(cfg)
     stamps["stage2_done"] = time.time()
-    if args.train_cpu:
+    if args.train_cpu or args.tpu:
         model_training.run(cfg)
     else:
         # accelerator training subprocess (f32, like the reference's
@@ -102,6 +114,8 @@ def main():
             "steps": cfg.solver.num_steps,
             "epochs": cfg.surrogate.epochs,
             "n_parts": cfg.partition.n_parts,
+            "device": str(jax.devices()[0]),
+            "dtype": "float32+compensated" if args.tpu else "float64",
         },
         "timings_s": {
             "setup": stamps["setup_done"] - stamps["start"],
