@@ -97,6 +97,10 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    epoch_chunk: int = 250          # stacked training epochs per device
+                                    # dispatch (bit-identical to unchunked;
+                                    # bounds single-dispatch wall time so
+                                    # remote workers' watchdogs don't trip)
     training_method: str = "recursive"  # "recursive" | "mtf" (mixed
                                         # teacher forcing, working version
                                         # of the reference's unused branch)

@@ -16,6 +16,7 @@ Python-dispatched steps.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
@@ -459,13 +460,19 @@ def fit_stacked(
     base_key = jax.random.PRNGKey(cfg.seed + 2)
     nbase_key = jax.random.PRNGKey(cfg.seed + 3)
 
-    # the WHOLE training (all epochs, shuffling, validation) is one jitted
-    # scan -> a single device dispatch; essential over high-latency links.
+    # Training runs as a jitted scan over epochs, dispatched in bounded
+    # chunks (default 250 epochs per dispatch): one dispatch per chunk is
+    # still negligible overhead over high-latency links, while a single
+    # multi-minute dispatch for all 3450 epochs trips the remote TPU
+    # worker's watchdog at large model counts (observed crash at 16 shards
+    # x 486 features). The global epoch index is threaded through as scan
+    # xs so chunked and unchunked runs are bit-identical.
     # The datasets are jit ARGUMENTS, not closure captures: captured arrays
     # become HLO constants, and at 16+ shards the embedded ~100MB blows the
     # remote-compile request limit (HTTP 413) and the compile cache.
-    @jax.jit
-    def run(params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask):
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def run(params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask, e0,
+            n_epochs):
         def epoch_body(carry, eidx):
             params, opt_state = carry
             pkeys = jax.vmap(
@@ -488,12 +495,24 @@ def fit_stacked(
             return (params, opt_state), (tl, vl)
 
         return jax.lax.scan(
-            epoch_body, (params, opt_state), jnp.arange(cfg.epochs)
+            epoch_body, (params, opt_state), e0 + jnp.arange(n_epochs)
         )
 
-    (params, opt_state), (tl, vl) = run(
-        params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask
-    )
+    chunk = max(1, min(int(getattr(cfg, "epoch_chunk", 0) or 250),
+                       cfg.epochs))
+    tls, vls = [], []
+    done = 0
+    while done < cfg.epochs:
+        n = min(chunk, cfg.epochs - done)
+        (params, opt_state), (tl_c, vl_c) = run(
+            params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask,
+            jnp.asarray(done), n,
+        )
+        tls.append(np.asarray(tl_c))
+        vls.append(np.asarray(vl_c))
+        done += n
+    tl = np.concatenate(tls)
+    vl = np.concatenate(vls)
     tl, vl = np.asarray(tl), np.asarray(vl)  # (epochs, P, 3)
     hist = {}
     for j, k in enumerate(("loss", "r2", "rel")):
