@@ -97,6 +97,11 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    scale_mode: str = "joint"       # feature scaling: "joint" (reference
+                                    # Scale_to_zero_one) | "per_feature"
+                                    # (per-DOF min/max — required for
+                                    # small-amplitude interface traces at
+                                    # high shard counts, models/data.py)
     epoch_chunk: int = 250          # stacked training epochs per device
                                     # dispatch (bit-identical to unchunked;
                                     # bounds single-dispatch wall time so

@@ -41,10 +41,31 @@ def strided_windows(
     return X, Y
 
 
-def scale_to_zero_one(X, Y):
-    """Scale X, Y jointly onto [-1, 0]; returns (X', Y', smax, smin)."""
-    smin = min(float(X.min()), float(Y.min()))
-    smax = max(float(X.max()), float(Y.max()))
+def scale_to_zero_one(X, Y, mode: str = "joint"):
+    """Scale X, Y onto [-1, 0]; returns (X', Y', smax, smin).
+
+    mode="joint" is the reference's Scale_to_zero_one (one global min/max
+    pair). mode="per_feature" scales each feature by its own min/max —
+    a savtpu extension: with joint scaling, small-amplitude interface DOFs
+    (e.g. near the clamped wall) contribute ~nothing to the MSE and the
+    surrogate never learns them (measured 26% teacher-forced error on the
+    wall-adjacent shard at 16 parts, runs/scale_96/diagnosis.json); smax
+    and smin are then (D,) arrays. Features whose range is < 1e-3 of the
+    global range keep a floored denominator so near-constant channels
+    don't amplify noise."""
+    if mode == "joint":
+        smin = min(float(X.min()), float(Y.min()))
+        smax = max(float(X.max()), float(Y.max()))
+        X = (X - smax) / (smax - smin)
+        Y = (Y - smax) / (smax - smin)
+        return X, Y, smax, smin
+    if mode != "per_feature":
+        raise ValueError(f"unknown scale mode {mode!r}")
+    ax = tuple(range(np.ndim(X) - 1))
+    smin = np.minimum(np.asarray(X).min(axis=ax), np.asarray(Y).min(axis=ax))
+    smax = np.maximum(np.asarray(X).max(axis=ax), np.asarray(Y).max(axis=ax))
+    floor = 1e-3 * max(float(smax.max() - smin.min()), 1e-30)
+    smin = np.where(smax - smin < floor, smax - floor, smin)
     X = (X - smax) / (smax - smin)
     Y = (Y - smax) / (smax - smin)
     return X, Y, smax, smin

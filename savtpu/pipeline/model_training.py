@@ -53,7 +53,7 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
             trace, sur.n_past, sur.n_future * sur.rollout_windows,
             eff_filter, sur.cut_off,
         )
-        X, Y, smax, smin = scale_to_zero_one(X, Y)
+        X, Y, smax, smin = scale_to_zero_one(X, Y, mode=sur.scale_mode)
         rng = np.random.default_rng(sur.seed + 17 * r)
         tr, va = train_val_split(len(X), sur.train_portion, rng)
         if verbose:
@@ -81,8 +81,15 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
                 "rollout_windows": sur.rollout_windows,
                 "filter_size": sur.filter_size,
                 "cut_off": sur.cut_off,
-                "scale_max": float(smax),
-                "scale_min": float(smin),
+                "scale_mode": sur.scale_mode,
+                "scale_max": (
+                    np.asarray(smax).tolist()
+                    if sur.scale_mode == "per_feature" else float(smax)
+                ),
+                "scale_min": (
+                    np.asarray(smin).tolist()
+                    if sur.scale_mode == "per_feature" else float(smin)
+                ),
                 "final_train_loss": hist["train_loss"][-1],
                 "final_val_r2": hist["val_r2"][-1] if hist["val_r2"] else None,
             },
@@ -136,14 +143,21 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
         dims.append(tr.shape[1])
     Dmax = max(dims)
 
+    per_feature = sur.scale_mode == "per_feature"
     Xs, Ys, smaxs, smins = [], [], [], []
     for tr in traces:
         X, Y = strided_windows(
             tr, sur.n_past, sur.n_future * sur.rollout_windows,
             eff_filter, sur.cut_off,
         )
-        smax = max(float(X.max()), float(Y.max()))
-        smin = min(float(X.min()), float(Y.min()))
+        _, _, smax, smin = scale_to_zero_one(X, Y, mode=sur.scale_mode)
+        if per_feature:
+            # pad to (Dmax,) with (0, -1): raw-zero pad dims stay 0 scaled
+            fmax = np.zeros(Dmax)
+            fmin = np.full(Dmax, -1.0)
+            fmax[: X.shape[-1]] = smax
+            fmin[: X.shape[-1]] = smin
+            smax, smin = fmax, fmin
         Xs.append(X)
         Ys.append(Y)
         smaxs.append(smax)
@@ -209,8 +223,13 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
                 "rollout_windows": sur.rollout_windows,
                 "filter_size": sur.filter_size,
                 "cut_off": sur.cut_off,
-                "scale_max": smaxs[r],
-                "scale_min": smins[r],
+                "scale_mode": sur.scale_mode,
+                "scale_max": (
+                    smaxs[r].tolist() if per_feature else smaxs[r]
+                ),
+                "scale_min": (
+                    smins[r].tolist() if per_feature else smins[r]
+                ),
                 "final_train_loss": hist_r["train_loss"][-1],
                 "final_val_r2": hist_r["val_r2"][-1],
             },

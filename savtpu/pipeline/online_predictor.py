@@ -73,20 +73,27 @@ def load_rank_models(ctx: StageContext):
             sur.n_future * int(meta.get("rollout_windows", 1) or 1),
             effective_filter(ctx.cfg), sur.cut_off,
         )
-        _, _, smax, smin = scale_to_zero_one(X, Y)
-        if not np.isclose(smax, meta["scale_max"], rtol=1e-10) or not (
-            np.isclose(smin, meta["scale_min"], rtol=1e-10)
+        scale_mode = meta.get("scale_mode", "joint")
+        _, _, smax, smin = scale_to_zero_one(X, Y, mode=scale_mode)
+        meta_max = np.asarray(meta["scale_max"], dtype=np.float64)
+        meta_min = np.asarray(meta["scale_min"], dtype=np.float64)
+        D_real = X.shape[-1]
+        if not np.allclose(
+            np.asarray(smax).reshape(-1),
+            meta_max.reshape(-1)[:D_real], rtol=1e-10,
+        ) or not np.allclose(
+            np.asarray(smin).reshape(-1),
+            meta_min.reshape(-1)[:D_real], rtol=1e-10,
         ):
             raise ValueError(
                 f"rank {r}: scaling constants drifted between training "
-                f"({meta['scale_max']}, {meta['scale_min']}) and online "
-                f"({smax}, {smin})"
+                f"and online (mode={scale_mode})"
             )
         models.append(
             (
                 params,
-                float(smax),
-                float(smin),
+                meta_max if meta_max.ndim else float(meta_max),
+                meta_min if meta_min.ndim else float(meta_min),
                 int(meta["input_size"]),
                 bool(meta.get("padded_input", False)),
             )

@@ -44,7 +44,8 @@ def main():
     out = Path(args.dir)
     cfg = Config()
     cfg.workdir = str(out / "Results")
-    cfg.model_dir = str(out / "models")
+    mdir = out / "models"
+    cfg.model_dir = str(mdir if mdir.exists() else out / "Distributed_save")
     sur = cfg.surrogate
     store = ArtifactStore(cfg.workdir, cfg.model_dir, sur.run_tag())
 

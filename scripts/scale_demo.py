@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--out", type=str, default="runs/scale_demo")
     ap.add_argument("--compensated", action="store_true",
                     help="double-word f32 state roll (docs/PRECISION.md)")
+    ap.add_argument("--scale-mode", type=str, default="joint",
+                    choices=["joint", "per_feature"],
+                    help="surrogate feature scaling (per_feature for "
+                         "high shard counts, models/data.py)")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -64,6 +68,7 @@ def main():
 
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
     cfg.surrogate.stacked = True
+    cfg.surrogate.scale_mode = args.scale_mode
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
 

@@ -154,6 +154,29 @@ def test_scaling_round_trip_and_range():
     assert np.allclose(scale_forward(X, smax, smin), Xs)
 
 
+def test_scaling_per_feature_round_trip():
+    rng = np.random.default_rng(1)
+    # feature amplitudes spanning 4 orders of magnitude (near-wall vs tip)
+    amps = np.array([1.0, 1e-2, 1e-4])
+    X = rng.normal(size=(6, 4, 3)) * amps
+    Y = rng.normal(size=(6, 2, 3)) * amps
+    Xs, Ys, smax, smin = scale_to_zero_one(X, Y, mode="per_feature")
+    assert smax.shape == (3,) and smin.shape == (3,)
+    # every feature uses its full [-1, 0] range (the point of the mode:
+    # joint scaling would squash feature 2 into ~1e-4 of the range)
+    for d in range(2):  # feature 2's range may be floored
+        assert Xs[..., d].min() <= -0.9 or Ys[..., d].min() <= -0.9
+        assert np.isclose(max(Xs[..., d].max(), Ys[..., d].max()), 0.0)
+    assert np.allclose(scale_back(Xs, smax, smin), X)
+    assert np.allclose(scale_forward(X, smax, smin), Xs)
+    # near-constant feature: range floored, noise not amplified
+    Xc = X.copy(); Yc = Y.copy()
+    Xc[..., 2] = 5.0 + 1e-12 * rng.normal(size=Xc[..., 2].shape)
+    Yc[..., 2] = 5.0
+    _, _, smax2, smin2 = scale_to_zero_one(Xc, Yc, mode="per_feature")
+    assert smax2[2] - smin2[2] >= 1e-3 * (smax2.max() - smin2.min()) * 0.99
+
+
 def test_phase_interleaved_predictor_matches_loop_oracle():
     """The one-shot batched predictor must equal the reference's per-offset
     loop (DNN_prediction.py:38-55) run with the same model."""

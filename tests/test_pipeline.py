@@ -96,6 +96,29 @@ def test_pipeline_stacked_training_4_parts(tmp_path):
         assert meta["padded_input"] is True
 
 
+def test_pipeline_stacked_per_feature_scaling(tmp_path):
+    """scale_mode='per_feature': per-DOF scaling constants flow through
+    sidecar -> online loader -> stacked predictor; warm-up equality and
+    finite predictions hold as with joint scaling."""
+    cfg = _smoke_cfg(tmp_path)
+    cfg.partition.n_parts = 2
+    cfg.surrogate.stacked = True
+    cfg.surrogate.scale_mode = "per_feature"
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_sync = cfg.surrogate.i_cri + 1
+    import json
+    for r in range(2):
+        data = load_displacement(store.dynamics_h5(r))
+        pred = load_displacement(store.modeled_h5(r))
+        assert np.isfinite(pred).all()
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        meta = json.loads(store.model_file(r).with_suffix(".json").read_text())
+        assert meta["scale_mode"] == "per_feature"
+        assert isinstance(meta["scale_max"], list)
+        assert len(meta["scale_max"]) == meta["input_size"]
+
+
 def test_stage1_under_device_mesh(tmp_path):
     """data_prepare with a real 4-device shard_map mesh produces the same
     artifacts as the single-device emulation."""
