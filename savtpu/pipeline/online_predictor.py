@@ -196,25 +196,81 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
 
     if stacked_ok:
         import jax
+        from functools import partial as _partial
+
+        from ..models.predictor import phase_interleaved_predict_stacked
 
         # device-resident trailing history window (one H2D at start)
         hist_dev = jnp.asarray(
             shared0[:, -W:], dtype=jnp.dtype(sur.dtype)
         )
 
-        if sur.pred_consensus:
-            consensus = jax.jit(
-                lambda pr: prediction_consensus(
-                    pr, sp.sgi, sp.smask, sp.SD
+        # The whole block pipeline — phase-interleaved prediction,
+        # owner consensus, the comm-free 3000-step scan, and the history
+        # roll — is ONE jitted function scanned over groups of blocks:
+        # one device dispatch per group instead of ~4 per block (the
+        # per-dispatch round trip dominates stage-4 wall time over a
+        # remote device link). Group size is bounded so a single dispatch
+        # stays well under remote-worker watchdogs. Per-part tensors ride
+        # as arguments via solver._data() (never HLO constants).
+        sp_data = solver._data()
+        consensus_on = bool(sur.pred_consensus)
+
+        @_partial(jax.jit, static_argnames=("nb",))
+        def run_block_group(data, d0c, dnc, tc, hist, sparams, smaxv,
+                            sminv, fmaskv, nb):
+            lsp = solver._local_view(data)
+
+            def one_block(c, _):
+                d0b, dnb, tb, hist = c
+                blockpred = phase_interleaved_predict_stacked(
+                    sparams, hist, smaxv, sminv,
+                    sur.n_past, sur.n_future, sur.filter_size,
+                    feat_mask=fmaskv,
                 )
+                preds = blockpred.astype(state_dtype)
+                if consensus_on:
+                    preds = prediction_consensus(
+                        preds, sp.sgi, sp.smask, sp.SD
+                    )
+                (traj_b, shared_b), (d1, dprev, t1) = lsp.stacked_run(
+                    d0b, dnb, tb, block, sync=False, preds=preds,
+                    record="all", save_every=se_run,
+                )
+                hist = jnp.concatenate(
+                    [hist, shared_b.astype(hist.dtype)], axis=1
+                )[:, -W:]
+                return (d1, dprev, t1, hist), traj_b
+
+            (d0c, dnc, tc, hist), trajs = jax.lax.scan(
+                one_block, (d0c, dnc, tc, hist), None, length=nb
             )
+            return (d0c, dnc, tc), hist, trajs
 
-    i = n_sync
-    while i < num_steps:
-        n = min(block, num_steps - i)
-        if stacked_ok:
-            from ..models.predictor import phase_interleaved_predict_stacked
+        full_blocks = (num_steps - n_sync) // block
+        GROUP = 8
+        done_blocks = 0
+        while done_blocks < full_blocks:
+            nb = min(GROUP, full_blocks - done_blocks)
+            d0c, dnc, tc = carry
+            carry, hist_dev, trajs_g = run_block_group(
+                sp_data, d0c, dnc, tc, hist_dev, stacked_params,
+                smax_v, smin_v, fmask_v, nb,
+            )
+            # (nb, P, block//se, DL) -> (P, nb*block//se, DL)
+            tg = jnp.moveaxis(trajs_g, 0, 1)
+            trajs.append(tg.reshape(P, -1, tg.shape[-1]))
+            done_blocks += nb
+            if verbose:
+                print(
+                    f"[online] step {n_sync + done_blocks * block}"
+                    f"/{num_steps}"
+                )
+        i = n_sync + full_blocks * block
 
+        if stacked_ok and i < num_steps:
+            # ragged tail (< one block): single fused-block call
+            n = num_steps - i
             blockpred = phase_interleaved_predict_stacked(
                 stacked_params, hist_dev, smax_v, smin_v,
                 sur.n_past, sur.n_future, sur.filter_size,
@@ -222,20 +278,20 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             )
             preds = blockpred[:, :n, :].astype(state_dtype)
             if sur.pred_consensus:
-                preds = consensus(preds)
+                preds = prediction_consensus(
+                    preds, sp.sgi, sp.smask, sp.SD
+                )
             d0c, dnc, tc = carry
             (traj_b, shared_b), carry = solver.run(
                 d0c, dnc, tc, n, sync=False, preds=preds,
                 save_every=se_run,
             )
-            hist_dev = jnp.concatenate(
-                [hist_dev, shared_b.astype(hist_dev.dtype)], axis=1
-            )[:, -W:]
             trajs.append(traj_b)
-            i += n
-            if verbose:
-                print(f"[online] step {i}/{num_steps}")
-            continue
+            i = num_steps
+
+    i = n_sync if not stacked_ok else i
+    while i < num_steps:
+        n = min(block, num_steps - i)
         preds = np.zeros((P, n, S3))
         for r in range(P):
             Dr = 3 * len(maps.shared_nodes[r])
