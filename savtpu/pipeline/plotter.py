@@ -55,10 +55,21 @@ def run(cfg: Config, n_parts: int | None = None, start: int = 2000,
         # quantitative: rel-L2 over non-shared DOFs, post-warm-up window
         win = slice(min(start, T - 1), T)
         diff = exact[win][:, keep] - pred[win][:, keep]
-        rel = float(
-            np.linalg.norm(diff) / max(np.linalg.norm(exact[win][:, keep]), 1e-30)
-        )
+        err_sq = float(np.sum(diff * diff))
+        ref_sq = float(np.sum(exact[win][:, keep] ** 2))
+        rel = float(np.sqrt(err_sq) / max(np.sqrt(ref_sq), 1e-30))
         metrics[f"rank_{r}_rel_l2_nonshared"] = rel
+        # accumulate the size-fair global metric: per-rank relative norms
+        # over-weight small-amplitude shards (e.g. the wall-adjacent one,
+        # whose denominator is tiny); the global rel-L2 weighs every DOF
+        # by its actual amplitude
+        metrics["global_rel_l2_nonshared"] = float(
+            np.sqrt(
+                (metrics.get("_err_sq", 0.0) + err_sq)
+            ) / max(np.sqrt(metrics.get("_ref_sq", 0.0) + ref_sq), 1e-30)
+        )
+        metrics["_err_sq"] = metrics.get("_err_sq", 0.0) + err_sq
+        metrics["_ref_sq"] = metrics.get("_ref_sq", 0.0) + ref_sq
 
         # tracked node: most dynamic non-shared node
         amp = np.abs(exact[win]).max(axis=0)
@@ -86,6 +97,8 @@ def run(cfg: Config, n_parts: int | None = None, start: int = 2000,
     fig.tight_layout()
     fig.savefig(out)
     plt.close(fig)
+    metrics.pop("_err_sq", None)
+    metrics.pop("_ref_sq", None)
     (Path(cfg.workdir) / "comparison_metrics.json").write_text(
         json.dumps(metrics, indent=2)
     )
