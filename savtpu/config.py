@@ -97,6 +97,17 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    pred_smooth: int = 0            # moving-average window (steps) applied
+                                    # to the predicted shared-DOF block
+                                    # along time. The 150 phase-offset
+                                    # models are independent, so adjacent
+                                    # block rows carry row-to-row jitter —
+                                    # content above the coarse-grid Nyquist
+                                    # 1/(filter_size*dt) that the models
+                                    # cannot represent and the
+                                    # near-undamped modes amplify. 0 = off
+                                    # (reference behavior); filter_size is
+                                    # the principled choice.
     scale_mode: str = "joint"       # feature scaling: "joint" (reference
                                     # Scale_to_zero_one) | "per_feature"
                                     # (per-DOF min/max — required for

@@ -101,6 +101,30 @@ def load_rank_models(ctx: StageContext):
     return models
 
 
+def smooth_preds(preds, hist_tail, win):
+    """Centered moving average (window ``win``) of the predicted block
+    along time, continued from the recorded history at the block's front
+    edge and reflect-padded at the back.
+
+    The phase-interleaved block's rows come from ``filter_size``
+    INDEPENDENT models, so row-to-row jitter above the coarse-grid
+    Nyquist 1/(filter_size*dt) is pure interleave noise — the models
+    only ever see filter_size-strided samples and cannot represent that
+    band — while the solver's near-undamped modes amplify it resonantly
+    (scripts/noise_amplification.py). Averaging over ~one stride keeps
+    everything the surrogate can actually predict."""
+    import jax.numpy as jnp
+
+    h = max(1, int(win) // 2)
+    w = 2 * h + 1
+    front = hist_tail[:, -h:, :].astype(preds.dtype)
+    back = preds[:, ::-1][:, :h, :]
+    ext = jnp.concatenate([front, preds, back], axis=1)
+    cs = jnp.cumsum(ext, axis=1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
+    return (cs[:, w:] - cs[:, :-w]) / w
+
+
 def prediction_consensus(preds, sgi, smask, SD):
     """Average every owner rank's prediction of each duplicated shared DOF
     (savtpu extension; see SurrogateConfig.pred_consensus). preds
@@ -233,6 +257,10 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
                     preds = prediction_consensus(
                         preds, sp.sgi, sp.smask, sp.SD
                     )
+                if sur.pred_smooth:
+                    preds = smooth_preds(
+                        preds, hist.astype(state_dtype), sur.pred_smooth
+                    )
                 (traj_b, shared_b), (d1, dprev, t1) = lsp.stacked_run(
                     d0b, dnb, tb, block, sync=False, preds=preds,
                     record="all", save_every=se_run,
@@ -280,6 +308,10 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             if sur.pred_consensus:
                 preds = prediction_consensus(
                     preds, sp.sgi, sp.smask, sp.SD
+                )
+            if sur.pred_smooth:
+                preds = smooth_preds(
+                    preds, hist_dev.astype(state_dtype), sur.pred_smooth
                 )
             d0c, dnc, tc = carry
             (traj_b, shared_b), carry = solver.run(

@@ -1,0 +1,113 @@
+"""Re-run stages 4+5 against an existing scale_demo artifact dir with
+different online-prediction knobs (pred_smooth / consensus) — stages 1-3
+(solve, extraction, training) are reused as-is.
+
+Usage: python scripts/rerun_online.py --dir runs/scale_96_200k
+       --cells 96 8 8 --parts 16 --steps 200000 [--smooth 150]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", type=str, required=True)
+    ap.add_argument("--cells", type=int, nargs=3, default=(96, 8, 8))
+    ap.add_argument("--parts", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=200_000)
+    ap.add_argument("--smooth", type=int, default=0)
+    ap.add_argument("--filter-size", type=int, default=None,
+                    help="override surrogate.filter_size (n_s); retrains "
+                         "stage 3 (use to keep n_s*dt constant across "
+                         "mesh refinements)")
+    ap.add_argument("--n-past", type=int, default=None)
+    ap.add_argument("--n-future", type=int, default=None)
+    ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--no-consensus", action="store_true")
+    ap.add_argument("--compensated", action="store_true", default=True)
+    args = ap.parse_args()
+
+    from savtpu.config import Config
+    from savtpu.pipeline import model_training, online_predictor, plotter
+    from savtpu.pipeline.common import build_context
+
+    out = Path(args.dir)
+    cfg = Config()
+    nx, ny, nz = args.cells
+    cfg.beam_cells = (nx, ny, nz)
+    cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
+    cfg.workdir = str(out / "Results")
+    cfg.model_dir = str(out / "Distributed_save")
+    cfg.partition.n_parts = args.parts
+    cfg.solver.num_steps = args.steps
+    cfg.solver.compensated = args.compensated
+    cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
+    cfg.surrogate.stacked = True
+    cfg.surrogate.pred_smooth = args.smooth
+    cfg.surrogate.pred_consensus = not args.no_consensus
+    retrain = False
+    if args.filter_size:
+        cfg.surrogate.filter_size = args.filter_size
+        retrain = True
+    if args.n_past:
+        cfg.surrogate.n_past = args.n_past
+        retrain = True
+    if args.n_future:
+        cfg.surrogate.n_future = args.n_future
+        retrain = True
+    if args.hidden:
+        cfg.surrogate.hidden_size = args.hidden
+        retrain = True
+    cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
+
+    ctx = build_context(cfg, dtype=jnp.float32)
+    if retrain:
+        t0 = time.time()
+        model_training.run(cfg, verbose=False)
+        print(f"[rerun] stage3 retrain {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    online_predictor.run(cfg, ctx=ctx)
+    t_online = time.time() - t0
+    metrics = plotter.run(cfg, verbose=False)
+    rels = [v for k, v in metrics.items()
+            if k.startswith("rank_") and k.endswith("rel_l2_nonshared")]
+    summary = {
+        "smooth": args.smooth,
+        "filter_size": cfg.surrogate.filter_size,
+        "n_past": cfg.surrogate.n_past,
+        "hidden": cfg.surrogate.hidden_size,
+        "consensus": not args.no_consensus,
+        "online_seconds": round(t_online, 1),
+        "global_rel_l2": round(metrics.get("global_rel_l2_nonshared", -1), 5),
+        "rel_l2_per_rank": [round(v, 5) for v in rels],
+        "rel_l2_mean": round(sum(rels) / len(rels), 5),
+    }
+    print(json.dumps(summary, indent=2))
+    tag = f"smooth{args.smooth}" + ("_nc" if args.no_consensus else "")
+    if args.filter_size:
+        tag += f"_ns{args.filter_size}"
+    if args.n_past:
+        tag += f"_np{args.n_past}"
+    if args.hidden:
+        tag += f"_h{args.hidden}"
+    (out / f"online_{tag}.json").write_text(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
