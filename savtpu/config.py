@@ -97,6 +97,16 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    resync_blocks: int = 0          # re-synchronize (one fully exchanged
+                                    # block, no prediction) after every N
+                                    # predicted blocks. 0 = off (the
+                                    # reference's 97%-comm-free schedule).
+                                    # The dial between communication and
+                                    # accuracy: the synced block resets
+                                    # boundary error AND refreshes the
+                                    # autoregressive history with real
+                                    # data; comm-free fraction becomes
+                                    # ~N/(N+1) of the online phase.
     pred_smooth: int = 0            # moving-average window (steps) applied
                                     # to the predicted shared-DOF block
                                     # along time. The 150 phase-offset

@@ -581,6 +581,7 @@ class ShardedProblem:
         reduce_fn: Callable = lambda x: x,
         permute_fn: Optional[Callable] = None,
         preds=None,              # (P, num_steps, 3*S_max) if not sync
+        blend=None,              # (num_steps,) overwrite->dynamics weight
         record: str = "all",     # "all" | "traj" | "shared" | "none"
         save_every: int = 1,
     ):
@@ -616,6 +617,16 @@ class ShardedProblem:
                 F_int = _synced_fint(d0c)
                 d1 = self._update(d0c, dnc, tn, F_int)
                 if x is not None:
+                    if isinstance(x, tuple):
+                        # blended release: shared DOFs ramp from the
+                        # prescribed prediction (w=0) to the computed
+                        # dynamics (w=1) — quasi-static release of the
+                        # interface-layer elastic energy stored while the
+                        # boundary was prescribed (hard release rings and
+                        # compounds; see SurrogateConfig.resync_blocks)
+                        pred, w = x
+                        cur = jax.vmap(lambda dp, s: dp[s])(d1, self.sld)
+                        x = w * cur + (1.0 - w) * pred
                     d1 = self._scatter_pred(d1, x)
                 return (d1, d0c, tn + dt), d1
 
@@ -655,10 +666,18 @@ class ShardedProblem:
                 if x is not None:
                     # overwrite shared DOFs with the prediction
                     # (Online_predictor.py:298): in incremental form the
-                    # increment at a shared slot is pred - current
+                    # increment at a shared slot is pred - current. A
+                    # (pred, w) tuple blends toward the computed dynamics
+                    # (see the plain step above).
                     cur = jax.vmap(lambda h, l, s: h[s] + l[s])(
                         d_hi, d_lo, self.sld
                     )
+                    if isinstance(x, tuple):
+                        pred, w = x
+                        dyn = cur + jax.vmap(lambda dl, s: dl[s])(
+                            delta, self.sld
+                        )
+                        x = w * dyn + (1.0 - w) * pred
                     tgt = (x - cur) * self.smask
                     delta = jax.vmap(lambda dl, s, t: dl.at[s].set(t))(
                         delta, self.sld, tgt
@@ -698,6 +717,8 @@ class ShardedProblem:
             xs = None
             if preds is not None:
                 xs = jnp.moveaxis(preds, 1, 0)  # scan over time axis
+                if blend is not None:
+                    xs = (xs, jnp.asarray(blend, dtype=d0.dtype))
             carry, (traj, shared) = jax.lax.scan(
                 body, carry0, xs, length=num_steps,
             )
@@ -717,7 +738,7 @@ class ShardedProblem:
 
         def block(carry, xs):
             # first step of the block is the recorded one
-            x0 = None if xs is None else xs[0]
+            x0 = None if xs is None else jax.tree.map(lambda a: a[0], xs)
             carry, d_first = step(carry, x0)
             sh_first = self._gather_shared(d_first) if want_shared else None
 
@@ -725,7 +746,10 @@ class ShardedProblem:
                 c, d1 = step(c, x)
                 return c, self._gather_shared(d1) if want_shared else None
 
-            xs_rest = None if xs is None else xs[1:]
+            xs_rest = (
+                None if xs is None
+                else jax.tree.map(lambda a: a[1:], xs)
+            )
             carry, sh_rest = jax.lax.scan(
                 inner, carry, xs_rest, length=save_every - 1,
             )
@@ -744,6 +768,13 @@ class ShardedProblem:
             xs = jnp.moveaxis(preds, 1, 0).reshape(
                 num_blocks, save_every, *preds.shape[::2]
             )
+            if blend is not None:
+                xs = (
+                    xs,
+                    jnp.asarray(blend, dtype=d0.dtype).reshape(
+                        num_blocks, save_every
+                    ),
+                )
         carry, (traj, shared) = jax.lax.scan(
             block, carry0, xs, length=num_blocks,
         )
@@ -842,7 +873,7 @@ class ShardedSolver:
         return vmem < self._PALLAS_VMEM_LIMIT
 
     def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
-            record="all", save_every=1):
+            blend=None, record="all", save_every=1):
         if self._pallas_scan_ok(sync, record, save_every, num_steps):
             from ..ops.pallas_step import pallas_scan_comm_free
 
@@ -856,13 +887,14 @@ class ShardedSolver:
             )
             return (None, shared), (d0f, dnf, tf)
         data = self._data()
-        key = (num_steps, sync, record, preds is None, save_every)
+        key = (num_steps, sync, record, preds is None, blend is None,
+               save_every)
         fn = self._cache.get(key)
         if fn is None:
             fn = self._build(num_steps, sync, record, preds is None,
-                             save_every)
+                             save_every, no_blend=blend is None)
             self._cache[key] = fn
-        return fn(data, d0, dn, jnp.asarray(t0), preds)
+        return fn(data, d0, dn, jnp.asarray(t0), preds, blend)
 
     def run_streamed(
         self,
@@ -926,14 +958,15 @@ class ShardedSolver:
             done += n
         return (traj_h, shared_h), carry
 
-    def _build(self, num_steps, sync, record, no_preds, save_every=1):
+    def _build(self, num_steps, sync, record, no_preds, save_every=1,
+               no_blend=True):
         if self.mesh is None:
 
-            def stacked(data, d0, dn, t0, preds):
+            def stacked(data, d0, dn, t0, preds, blend):
                 lsp = self._local_view(data)
                 return lsp.stacked_run(
                     d0, dn, t0, num_steps,
-                    sync=sync, preds=preds, record=record,
+                    sync=sync, preds=preds, blend=blend, record=record,
                     save_every=save_every,
                 )
 
@@ -942,10 +975,11 @@ class ShardedSolver:
         mesh = self.mesh
         spec = P(AXIS)
         pred_spec = None if no_preds else P(AXIS)
+        blend_spec = None if no_blend else P()
 
         pairs = self.sp.nx_pairs
 
-        def local_run(data, d0, dn, t0, preds):
+        def local_run(data, d0, dn, t0, preds, blend):
             lsp = self._local_view(data)
             reduce_fn = (
                 (lambda x: jax.lax.psum(x, AXIS)) if sync else (lambda x: x)
@@ -958,7 +992,8 @@ class ShardedSolver:
             return lsp.stacked_run(
                 d0, dn, t0, num_steps,
                 sync=sync, reduce_fn=reduce_fn, permute_fn=permute_fn,
-                preds=preds, record=record, save_every=save_every,
+                preds=preds, blend=blend, record=record,
+                save_every=save_every,
             )
 
         data_specs = {k: spec for k in self._data()}
@@ -969,7 +1004,7 @@ class ShardedSolver:
         fn = _shard_map(
             local_run,
             mesh=mesh,
-            in_specs=(data_specs, spec, spec, P(), pred_spec),
+            in_specs=(data_specs, spec, spec, P(), pred_spec, blend_spec),
             out_specs=(out_record, (spec, spec, P())),
             check_vma=False,
         )

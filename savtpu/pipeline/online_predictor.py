@@ -276,10 +276,15 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             return (d0c, dnc, tc), hist, trajs
 
         full_blocks = (num_steps - n_sync) // block
-        GROUP = 8
+        resync = int(getattr(sur, "resync_blocks", 0) or 0)
+        GROUP = min(8, resync) if resync else 8
         done_blocks = 0
+        n_resync_steps = 0
+        since_resync = 0
         while done_blocks < full_blocks:
             nb = min(GROUP, full_blocks - done_blocks)
+            if resync:
+                nb = min(nb, resync - since_resync)
             d0c, dnc, tc = carry
             carry, hist_dev, trajs_g = run_block_group(
                 sp_data, d0c, dnc, tc, hist_dev, stacked_params,
@@ -289,6 +294,52 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             tg = jnp.moveaxis(trajs_g, 0, 1)
             trajs.append(tg.reshape(P, -1, tg.shape[-1]))
             done_blocks += nb
+            since_resync += nb
+            if (
+                resync
+                and since_resync >= resync
+                and done_blocks < full_blocks
+            ):
+                # periodic re-synchronization: one exchanged block that
+                # BLENDS the shared DOFs from the prediction (w=0) to the
+                # computed dynamics (w=1) over the block. A hard release
+                # rings: the interface layer stores elastic energy
+                # proportional to the prescribed-boundary error, and
+                # freeing it impulsively excites undamped modes that
+                # compound exponentially across resync cycles (measured:
+                # x10-30 amplitude per hard-resync block). The smoothstep
+                # ramp releases it quasi-statically and re-anchors the
+                # prediction history to real dynamics.
+                blockpred = phase_interleaved_predict_stacked(
+                    stacked_params, hist_dev, smax_v, smin_v,
+                    sur.n_past, sur.n_future, sur.filter_size,
+                    feat_mask=fmask_v,
+                )
+                preds_s = blockpred.astype(state_dtype)
+                if sur.pred_consensus:
+                    preds_s = prediction_consensus(
+                        preds_s, sp.sgi, sp.smask, sp.SD
+                    )
+                if sur.pred_smooth:
+                    preds_s = smooth_preds(
+                        preds_s, hist_dev.astype(state_dtype),
+                        sur.pred_smooth,
+                    )
+                tt = jnp.linspace(0.0, 1.0, block, dtype=state_dtype)
+                wramp = tt * tt * (3.0 - 2.0 * tt)
+                d0c, dnc, tc = carry
+                (traj_s, shared_s), carry = solver.run(
+                    d0c, dnc, tc, block, sync=True, preds=preds_s,
+                    blend=wramp, record="all", save_every=se_run,
+                )
+                hist_dev = jnp.concatenate(
+                    [hist_dev, jnp.asarray(shared_s, hist_dev.dtype)],
+                    axis=1,
+                )[:, -W:]
+                trajs.append(traj_s)
+                done_blocks += 1
+                n_resync_steps += block
+                since_resync = 0
             if verbose:
                 print(
                     f"[online] step {n_sync + done_blocks * block}"
@@ -381,7 +432,11 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
         blocks=-(-(num_steps - n_sync) // block),
         seconds=round(elapsed, 3),
         steps_per_sec=round(num_steps / elapsed, 1),
-        comm_free_fraction=round((num_steps - n_sync) / num_steps, 4),
+        comm_free_fraction=round(
+            (num_steps - n_sync
+             - (n_resync_steps if stacked_ok else 0)) / num_steps, 4
+        ),
+        resync_blocks=int(getattr(sur, "resync_blocks", 0) or 0),
         stacked_predictor=bool(stacked_ok),
         n_parts=P,
     )

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--steps", type=int, default=200_000)
     ap.add_argument("--smooth", type=int, default=0)
+    ap.add_argument("--resync", type=int, default=0,
+                    help="one exchanged block every N predicted blocks")
     ap.add_argument("--filter-size", type=int, default=None,
                     help="override surrogate.filter_size (n_s); retrains "
                          "stage 3 (use to keep n_s*dt constant across "
@@ -60,6 +62,7 @@ def main():
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
     cfg.surrogate.stacked = True
     cfg.surrogate.pred_smooth = args.smooth
+    cfg.surrogate.resync_blocks = args.resync
     cfg.surrogate.pred_consensus = not args.no_consensus
     retrain = False
     if args.filter_size:
@@ -89,6 +92,7 @@ def main():
             if k.startswith("rank_") and k.endswith("rel_l2_nonshared")]
     summary = {
         "smooth": args.smooth,
+        "resync_blocks": args.resync,
         "filter_size": cfg.surrogate.filter_size,
         "n_past": cfg.surrogate.n_past,
         "hidden": cfg.surrogate.hidden_size,
@@ -100,6 +104,8 @@ def main():
     }
     print(json.dumps(summary, indent=2))
     tag = f"smooth{args.smooth}" + ("_nc" if args.no_consensus else "")
+    if args.resync:
+        tag += f"_rs{args.resync}"
     if args.filter_size:
         tag += f"_ns{args.filter_size}"
     if args.n_past:

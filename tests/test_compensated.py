@@ -88,6 +88,34 @@ def test_compensated_overwrite_matches_plain_f64():
     assert np.abs((shc - np.asarray(preds)) * sm).max() < 1e-9
 
 
+@pytest.mark.parametrize("compensated", [False, True])
+def test_blend_endpoints(compensated):
+    """blend=1 must equal the pure exchanged run; blend=0 must equal the
+    comm-free overwrite run (the quasi-static-release resync ramp's two
+    endpoints)."""
+    steps = 80
+    prob, sp, sol = _sharded(compensated=compensated)
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    (t_sync, sh_sync), _ = sol.run(d0, dnl, 0.0, steps, sync=True)
+    S3 = int(sp.sld.shape[1])
+    t = np.linspace(0, 1, steps)[None, :, None]
+    preds = jnp.asarray(
+        1e-3 * np.sin(2 * np.pi * t + np.arange(S3)[None, None, :])
+        * np.ones((sp.n_parts, 1, 1))
+    )
+    ones = jnp.ones((steps,))
+    (t_b1, _), _ = sol.run(
+        d0, dnl, 0.0, steps, sync=True, preds=preds, blend=ones
+    )
+    assert np.allclose(np.asarray(t_b1), np.asarray(t_sync), atol=1e-12)
+    (t_ov, _), _ = sol.run(d0, dnl, 0.0, steps, sync=False, preds=preds)
+    (t_b0, _), _ = sol.run(
+        d0, dnl, 0.0, steps, sync=False, preds=preds, blend=ones * 0.0
+    )
+    assert np.allclose(np.asarray(t_b0), np.asarray(t_ov), atol=1e-12)
+
+
 def test_compensated_shard_map_matches_emulation():
     import jax
 
