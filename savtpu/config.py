@@ -97,16 +97,21 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
-    resync_blocks: int = 0          # re-synchronize (one fully exchanged
-                                    # block, no prediction) after every N
-                                    # predicted blocks. 0 = off (the
-                                    # reference's 97%-comm-free schedule).
-                                    # The dial between communication and
-                                    # accuracy: the synced block resets
-                                    # boundary error AND refreshes the
-                                    # autoregressive history with real
-                                    # data; comm-free fraction becomes
-                                    # ~N/(N+1) of the online phase.
+    resync_blocks: int = 0          # EXPERIMENTAL, measured HARMFUL: one
+                                    # exchanged block (shared DOFs blended
+                                    # prediction->dynamics) every N
+                                    # predicted blocks. The comm-free
+                                    # interior accumulates elastic
+                                    # mismatch against the prescribed
+                                    # boundary; ANY return to exchanged
+                                    # dynamics releases it as ringing
+                                    # (hard release: x10-30/block to inf;
+                                    # smoothstep-blended release: still
+                                    # divergent at 16 shards, and 16x
+                                    # WORSE than no resync even at
+                                    # 48x4x4/8 where predictions are
+                                    # 1%-accurate). Keep 0; see
+                                    # docs/STATUS_r2.md.
     pred_smooth: int = 0            # moving-average window (steps) applied
                                     # to the predicted shared-DOF block
                                     # along time. The 150 phase-offset
