@@ -196,6 +196,13 @@ class ShardedProblem:
     band_Kd: Optional[jnp.ndarray] = None     # (P, nc, Bk, Bk) diagonal
     band_Kl: Optional[jnp.ndarray] = None     # (P, nc, Bk, Bk) sub-diag;
                                               # super-diag = Kl[i+1]^T (sym)
+    # Neo-Hookean matrix-free path (fint_mode == 'nh'): internal forces
+    # recomputed from the current displacement every step (BASELINE.md
+    # stretch material; serial twin: solvers/nonlinear.py). Padded
+    # elements carry the unit reference tet and index the dummy DOF, so
+    # F = I there and P(I) = 0 — they contribute nothing.
+    nh_material: Optional[object] = None
+    ecoords: Optional[jnp.ndarray] = None     # (P, E_max, 4, 3)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -207,8 +214,21 @@ class ShardedProblem:
         dtype=None,
         exchange_mode: str = "psum",
         compensated: bool = False,
+        material=None,
     ) -> "ShardedProblem":
-        valid_modes = {"auto", "dense", "banded", "ell", "ebe", "pallas"}
+        """``material``: pass a ``NeoHookean`` instance to switch the
+        stepper to per-step matrix-free nonlinear internal forces
+        (fint_mode becomes 'nh'; the linear pre-assembly is skipped)."""
+        from ..ops.material import NeoHookean as _NH
+
+        if isinstance(material, _NH):
+            fint_mode = "nh"
+        valid_modes = {"auto", "dense", "banded", "ell", "ebe", "pallas",
+                       "nh"}
+        if fint_mode == "nh" and not isinstance(material, _NH):
+            raise ValueError(
+                "fint_mode='nh' requires a NeoHookean material instance"
+            )
         if fint_mode not in valid_modes:
             raise ValueError(
                 f"unknown fint_mode {fint_mode!r}; expected one of "
@@ -334,6 +354,22 @@ class ShardedProblem:
                 oh[p, s, sld[p]] = smask[p]
             shared_onehot = jnp.asarray(oh, dtype=dtype)
 
+        nh_kwargs = {}
+        if fint_mode == "nh":
+            coords_np = np.asarray(prob.coords)
+            ref_tet = np.array(
+                [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                 [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+            )
+            ec = np.tile(ref_tet, (npn, E_max, 1, 1))
+            for p in range(npn):
+                elems = maps.local_elements[p]
+                ec[p, : len(elems)] = coords_np[elems]
+            nh_kwargs = dict(
+                nh_material=material,
+                ecoords=jnp.asarray(ec, dtype=dtype),
+            )
+
         nx_kwargs = {}
         if exchange_mode == "permute":
             from .halo import build_neighbor_exchange
@@ -350,6 +386,7 @@ class ShardedProblem:
         return cls(
             compensated=compensated,
             exchange_mode=exchange_mode,
+            **nh_kwargs,
             **nx_kwargs,
             shared_onehot=shared_onehot,
             ell_blocks=ell_blocks,
@@ -419,6 +456,25 @@ class ShardedProblem:
             from ..ops.pallas_step import batched_fint_matvec
 
             return batched_fint_matvec(self.denseK, d)
+
+        if self.fint_mode == "nh":
+            # matrix-free Neo-Hookean: per-element force recompute +
+            # segment_sum scatter-add (serial twin: solvers/nonlinear.py;
+            # padded elements are reference tets on the dummy DOF -> 0)
+            from ..ops.element import neo_hookean_element_fint
+
+            mat = self.nh_material
+            fe_fn = jax.vmap(
+                lambda Pc, de: neo_hookean_element_fint(mat, Pc, de)
+            )
+
+            def one(Pc, ed, dp):
+                fe = fe_fn(Pc, dp[ed])
+                return jax.ops.segment_sum(
+                    fe.reshape(-1), ed.reshape(-1), num_segments=self.DL
+                )
+
+            return jax.vmap(one)(self.ecoords, self.edofs, d)
 
         if self.fint_mode == "banded":
             # block-tridiagonal matvec (RCM-ordered local DOFs): three
@@ -827,7 +883,7 @@ class ShardedSolver:
 
     _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
                    "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
-                   "nx_src")
+                   "nx_src", "ecoords")
 
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so

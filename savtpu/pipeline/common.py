@@ -69,10 +69,26 @@ def build_context(
         # auto: compensate f32 runs (docs/PRECISION.md §4 — zero cost,
         # ~800x trajectory accuracy); f64 keeps the plain parity formula
         compensated = jnp.dtype(dtype).itemsize <= 4
+    material = None
+    if cfg.material.model == "neo_hookean":
+        # matrix-free nonlinear stepper (BASELINE.md stretch material);
+        # steady solve / ghost init keep the linearization at d0=0,
+        # which is exact there (a0 = M^-1 F(0))
+        from ..ops.material import NeoHookean
+
+        m = cfg.material
+        material = NeoHookean.from_engineering(
+            E=m.E, nu=m.nu, rho=m.rho, fz=m.fz, ramped=m.ramped
+        )
+    elif cfg.material.model != "linear":
+        raise ValueError(
+            f"unknown material.model {cfg.material.model!r}; expected "
+            "'linear' or 'neo_hookean'"
+        )
     sp = ShardedProblem.build(
         prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype,
         exchange_mode=cfg.solver.exchange_mode,
-        compensated=compensated,
+        compensated=compensated, material=material,
     )
     solver = ShardedSolver(sp, mesh=device_mesh)
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
