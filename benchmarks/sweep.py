@@ -38,7 +38,7 @@ from savtpu.solvers import setup_problem
 
 
 def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
-               compensated=False):
+               compensated=False, nh=False):
     cfg = Config()
     cfg.beam_cells = (nx, ny, nz)
     cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
@@ -50,9 +50,17 @@ def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
     maps = build_partition_maps(
         prob.mesh.tetra, epart, prob.mesh.num_points, dn
     )
+    material = None
+    if nh:
+        from savtpu.ops.material import NeoHookean
+
+        material = NeoHookean.from_engineering(
+            E=1e6, nu=0.3, rho=1.0, fz=0.5
+        )
     sp = ShardedProblem.build(
         prob, maps, fint_mode=mode, dtype=jnp.float32,
         exchange_mode=exchange, compensated=compensated,
+        material=material,
     )
     sol = ShardedSolver(sp)
     d0 = sp.localize(np.zeros(prob.ndof, np.float32))
@@ -102,6 +110,8 @@ CASES = [
     # compensated (double-word f32) overhead check at two scales
     (48, 4, 4, 8, "dense", 5000, "psum", True),
     (192, 12, 12, 64, "banded", 1000, "psum", True),
+    # Neo-Hookean matrix-free stepping (per-step force recompute)
+    (48, 4, 4, 8, "auto", 2000, "psum", False, True),
 ]
 
 QUICK = [(25, 1, 1, 2, "dense", 5000), (48, 4, 4, 8, "ell", 2000)]
