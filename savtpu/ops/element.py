@@ -160,20 +160,21 @@ def gather_coords(cells: np.ndarray, points: np.ndarray, dtype=None):
 def neo_hookean_element_fint(material, P, d_e):
     """Internal force (3nb,) of one P1 tet under Neo-Hookean stress, for the
     nonlinear matrix-free stepper. P (4,3) reference coords, d_e (12,)
-    nodal displacements."""
+    nodal displacements.
+
+    P1 shape gradients are constant, so the whole integrand (deformation
+    gradient, first Piola stress) is constant over the element — one
+    evaluation times the total quadrature weight replaces the 4-point
+    loop (4x fewer inv3/log evaluations in the hot nonlinear stepper)."""
     dtype = P.dtype
     nodes, weights = _quad_points(1, 2, dtype)
     u = d_e.reshape(4, 3)
-    F_out = jnp.zeros((12,), dtype=dtype)
-    for q in range(nodes.shape[0]):
-        xi, w = nodes[q], weights[q]
-        dN = shape_derivative(1, xi)
-        J = jacobian(P, dN)
-        detJ = det3(J)
-        G = dN @ inv3(J, detJ)  # (4, 3) physical gradients
-        gradu = u.T @ G  # (3, 3): du_i/dX_j
-        Fdef = jnp.eye(3, dtype=dtype) + gradu
-        Pstress = material.first_piola(Fdef)
-        # f_a[i] = P[i, j] G[a, j] * detJ * w
-        F_out = F_out + (G @ Pstress.T).reshape(-1) * detJ * w
-    return F_out
+    dN = shape_derivative(1, nodes[0])
+    J = jacobian(P, dN)
+    detJ = det3(J)
+    G = dN @ inv3(J, detJ)  # (4, 3) physical gradients
+    gradu = u.T @ G  # (3, 3): du_i/dX_j
+    Fdef = jnp.eye(3, dtype=dtype) + gradu
+    Pstress = material.first_piola(Fdef)
+    # f_a[i] = P[i, j] G[a, j] * detJ * sum(w)
+    return (G @ Pstress.T).reshape(-1) * detJ * weights.sum()

@@ -203,6 +203,16 @@ class ShardedProblem:
     # F = I there and P(I) = 0 — they contribute nothing.
     nh_material: Optional[object] = None
     ecoords: Optional[jnp.ndarray] = None     # (P, E_max, 4, 3)
+    # SoA geometry constants for the nh path (precomputed at build —
+    # P1 shape gradients and Jacobians are constant per element):
+    nh_G: Optional[jnp.ndarray] = None        # (P, E_max, 4, 3) physical
+                                              # gradients (pad -> 0)
+    nh_detJw: Optional[jnp.ndarray] = None    # (P, E_max) detJ * sum(w)
+    # gather-only assembly for the nh path: per local DOF, the flat
+    # (element*12 + slot) positions that contribute to it, padded with a
+    # sentinel index past the end (reads an appended 0.0). segment_sum
+    # scatter-add measured ~80x slower than fixed-width gather on TPU.
+    nh_gather: Optional[jnp.ndarray] = None   # (P, DL, C_max) int32
 
     # ------------------------------------------------------------------
     @classmethod
@@ -365,9 +375,55 @@ class ShardedProblem:
             for p in range(npn):
                 elems = maps.local_elements[p]
                 ec[p, : len(elems)] = coords_np[elems]
+            # incident lists: for each local DOF, the flat element-slot
+            # positions writing into it (vectorized sort + reduceat-style
+            # bucketing); sentinel E_max*nb3 reads an appended zero
+            sent = E_max * nb3
+            C_max = 1
+            per_part_pos = []
+            for p in range(npn):
+                flat_dof = edofs[p].reshape(-1)
+                real = flat_dof < DL - 1
+                pos = np.flatnonzero(real)
+                dofs = flat_dof[real]
+                order = np.argsort(dofs, kind="stable")
+                dofs, pos = dofs[order], pos[order]
+                counts = np.bincount(dofs, minlength=DL)
+                C_max = max(C_max, int(counts.max(initial=1)))
+                per_part_pos.append((dofs, pos, counts))
+            nh_gather = np.full((npn, DL, C_max), sent, dtype=np.int32)
+            for p, (dofs, pos, counts) in enumerate(per_part_pos):
+                offs = np.zeros(DL + 1, dtype=np.int64)
+                offs[1:] = np.cumsum(counts)
+                slot = np.arange(len(dofs)) - offs[dofs]
+                nh_gather[p, dofs, slot] = pos
+            # constant element geometry (host, f64): physical gradients
+            # G = dN @ J^-1 and detJ * total weight; padded elements get
+            # G = 0 so F = I there and P(I) = 0 -> zero force
+            dN_ref = np.array(
+                [[-1.0, -1.0, -1.0],
+                 [1.0, 0.0, 0.0],
+                 [0.0, 1.0, 0.0],
+                 [0.0, 0.0, 1.0]]
+            )
+            Gs = np.zeros((npn, E_max, 4, 3))
+            dJw = np.zeros((npn, E_max))
+            for p in range(npn):
+                ne = len(maps.local_elements[p])
+                Pc = ec[p, :ne]                       # (ne, 4, 3)
+                Jm = np.einsum("ai,eaj->eij", dN_ref, Pc).transpose(
+                    0, 2, 1
+                )                                     # J[i,j]=sum dN_aj P_ai
+                detJ = np.linalg.det(Jm)
+                Jinv = np.linalg.inv(Jm)
+                Gs[p, :ne] = np.einsum("aj,ejk->eak", dN_ref, Jinv)
+                dJw[p, :ne] = detJ * (1.0 / 6.0)      # 4-pt wts sum = 1/6
             nh_kwargs = dict(
                 nh_material=material,
                 ecoords=jnp.asarray(ec, dtype=dtype),
+                nh_G=jnp.asarray(Gs, dtype=dtype),
+                nh_detJw=jnp.asarray(dJw, dtype=dtype),
+                nh_gather=jnp.asarray(nh_gather),
             )
 
         nx_kwargs = {}
@@ -458,23 +514,7 @@ class ShardedProblem:
             return batched_fint_matvec(self.denseK, d)
 
         if self.fint_mode == "nh":
-            # matrix-free Neo-Hookean: per-element force recompute +
-            # segment_sum scatter-add (serial twin: solvers/nonlinear.py;
-            # padded elements are reference tets on the dummy DOF -> 0)
-            from ..ops.element import neo_hookean_element_fint
-
-            mat = self.nh_material
-            fe_fn = jax.vmap(
-                lambda Pc, de: neo_hookean_element_fint(mat, Pc, de)
-            )
-
-            def one(Pc, ed, dp):
-                fe = fe_fn(Pc, dp[ed])
-                return jax.ops.segment_sum(
-                    fe.reshape(-1), ed.reshape(-1), num_segments=self.DL
-                )
-
-            return jax.vmap(one)(self.ecoords, self.edofs, d)
+            return self._nh_fint(d)
 
         if self.fint_mode == "banded":
             # block-tridiagonal matvec (RCM-ordered local DOFs): three
@@ -537,6 +577,81 @@ class ShardedProblem:
             )
 
         return jax.vmap(one)(self.Ke, self.edofs, d)
+
+    def _nh_fint(self, d):
+        """Matrix-free Neo-Hookean internal forces, TPU-native layout.
+
+        The readable per-element twin is solvers/nonlinear.py /
+        ops.element.neo_hookean_element_fint; here everything is
+        structure-of-arrays: the constant element geometry (physical
+        gradients G, detJ*w) is precomputed at build, and the per-step
+        nonlinear update (deformation gradient, cofactors, log-det, first
+        Piola stress, nodal forces) is unrolled component arithmetic over
+        flat (P, E) lanes — no 3x3 matmuls or relayouts, so the VPU
+        vectorizes it. Assembly is a fixed-width incident-list gather
+        (scatter-free). Padded elements have G = 0 -> F = I -> P(I) = 0.
+        """
+        mat = self.nh_material
+        dt_ = d.dtype
+        mu = jnp.asarray(mat.mu, dt_)
+        lmd = jnp.asarray(mat.lmd, dt_)
+        de = jax.vmap(lambda dp, ed: dp[ed])(d, self.edofs)  # (P, E, 12)
+        G = self.nh_G                                        # (P, E, 4, 3)
+
+        # deformation gradient F_ij = delta_ij + sum_a u[a,i] G[a,j]
+        F = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(3):
+                s = de[..., i] * G[..., 0, j]
+                for a in range(1, 4):
+                    s = s + de[..., 3 * a + i] * G[..., a, j]
+                F[i][j] = s + (1.0 if i == j else 0.0)
+
+        # cofactor matrix (F^-T = cof / det)
+        cof = [[None] * 3 for _ in range(3)]
+        cof[0][0] = F[1][1] * F[2][2] - F[1][2] * F[2][1]
+        cof[0][1] = F[1][2] * F[2][0] - F[1][0] * F[2][2]
+        cof[0][2] = F[1][0] * F[2][1] - F[1][1] * F[2][0]
+        cof[1][0] = F[0][2] * F[2][1] - F[0][1] * F[2][2]
+        cof[1][1] = F[0][0] * F[2][2] - F[0][2] * F[2][0]
+        cof[1][2] = F[0][1] * F[2][0] - F[0][0] * F[2][1]
+        cof[2][0] = F[0][1] * F[1][2] - F[0][2] * F[1][1]
+        cof[2][1] = F[0][2] * F[1][0] - F[0][0] * F[1][2]
+        cof[2][2] = F[0][0] * F[1][1] - F[0][1] * F[1][0]
+        det = (
+            F[0][0] * cof[0][0]
+            + F[0][1] * cof[0][1]
+            + F[0][2] * cof[0][2]
+        )
+        # P = mu F + (lmd ln J - mu) F^-T
+        coef = (lmd * jnp.log(det) - mu) / det
+        Ps = [
+            [mu * F[i][j] + coef * cof[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+
+        # nodal forces f[a,i] = sum_j P_ij G[a,j] * detJ*w, slot a*3+i
+        dJw = self.nh_detJw
+        fe = []
+        for a in range(4):
+            for i in range(3):
+                fe.append(
+                    (
+                        Ps[i][0] * G[..., a, 0]
+                        + Ps[i][1] * G[..., a, 1]
+                        + Ps[i][2] * G[..., a, 2]
+                    )
+                    * dJw
+                )
+        fe = jnp.stack(fe, axis=-1)                          # (P, E, 12)
+
+        def assemble(fe_p, gi):
+            flat = jnp.concatenate(
+                [fe_p.reshape(-1), jnp.zeros((1,), dtype=fe_p.dtype)]
+            )
+            return flat[gi].sum(axis=-1)
+
+        return jax.vmap(assemble)(fe, self.nh_gather)
 
     def _exchange(self, F_int, reduce_fn):
         def scatter(F, sld, sgi, smask):
@@ -883,7 +998,7 @@ class ShardedSolver:
 
     _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
                    "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
-                   "nx_src", "ecoords")
+                   "nx_src", "ecoords", "nh_G", "nh_detJw", "nh_gather")
 
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so
