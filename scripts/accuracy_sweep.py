@@ -146,7 +146,8 @@ def main():
             out.mkdir(parents=True, exist_ok=True)
             (out / "summary.json").write_text(json.dumps(results, indent=2))
             continue
-        rels = [v for k, v in metrics.items() if k.endswith("rel_l2_nonshared")]
+        rels = [v for k, v in metrics.items()
+                if k.startswith("rank_") and k.endswith("rel_l2_nonshared")]
         results["variants"][name] = {
             "rollout_windows": int(w),
             "pred_consensus": cfg.surrogate.pred_consensus,
