@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--n-past", type=int, default=None)
     ap.add_argument("--n-future", type=int, default=None)
     ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--epoch-chunk", type=int, default=None,
+                    help="epochs per training dispatch (lower for large "
+                         "window counts; remote watchdog)")
     ap.add_argument("--no-consensus", action="store_true")
     ap.add_argument("--compensated", action="store_true", default=True)
     args = ap.parse_args()
@@ -77,6 +80,8 @@ def main():
     if args.hidden:
         cfg.surrogate.hidden_size = args.hidden
         retrain = True
+    if args.epoch_chunk:
+        cfg.surrogate.epoch_chunk = args.epoch_chunk
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
 
     ctx = build_context(cfg, dtype=jnp.float32)
