@@ -129,6 +129,17 @@ def main():
         if args.epochs:
             cfg.surrogate.num_epochs = args.epochs
 
+        # the shared ctx's artifact store carries the BASE run_tag; a
+        # variant that changes a tag field (e.g. hidden_size) trains into
+        # a different Distributed_save dir, so rebind the store or stage 4
+        # silently reloads the previous variant's models
+        from savtpu.io.artifacts import ArtifactStore
+
+        ctx.store = ArtifactStore(
+            cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag()
+        )
+        ctx.cfg = cfg
+
         try:
             t1 = time.time()
             model_training.run(cfg, verbose=False)
