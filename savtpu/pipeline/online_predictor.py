@@ -372,7 +372,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             trajs.append(traj_b)
             i = num_steps
 
-    i = n_sync if not stacked_ok else i
+    # per-rank fallback loop (stacked path has already consumed all steps)
+    i = num_steps if stacked_ok else n_sync
     while i < num_steps:
         n = min(block, num_steps - i)
         preds = np.zeros((P, n, S3))
