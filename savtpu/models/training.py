@@ -498,8 +498,16 @@ def fit_stacked(
             epoch_body, (params, opt_state), e0 + jnp.arange(n_epochs)
         )
 
+    # adaptive dispatch budget: the remote worker's watchdog kills
+    # multi-minute single dispatches, and per-epoch cost scales with
+    # shards*windows*window_len*width*hidden. Calibrated at ~54 ms/epoch
+    # for (16 shards, 295 windows, 20, 486, 50); target <=15 s/dispatch.
+    ref_work = 16 * 295 * 20 * 486 * 50
+    work = max(Pn * n_train * X.shape[2] * Dmax * cfg.hidden_size, 1)
+    per_epoch_ms = 54.0 * work / ref_work
+    chunk_budget = max(10, int(15_000 / max(per_epoch_ms, 1e-3)))
     chunk = max(1, min(int(getattr(cfg, "epoch_chunk", 0) or 250),
-                       cfg.epochs))
+                       chunk_budget, cfg.epochs))
     tls, vls = [], []
     done = 0
     while done < cfg.epochs:
