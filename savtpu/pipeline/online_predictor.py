@@ -290,9 +290,12 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
                 sp_data, d0c, dnc, tc, hist_dev, stacked_params,
                 smax_v, smin_v, fmask_v, nb,
             )
-            # (nb, P, block//se, DL) -> (P, nb*block//se, DL)
+            # (nb, P, block//se, DL) -> (P, nb*block//se, DL); offload to
+            # host per group so device memory and the final fetch stay
+            # bounded at large P*DL (one ~1GB end-of-run fetch crashed the
+            # remote worker at 64 parts x 1912 DL)
             tg = jnp.moveaxis(trajs_g, 0, 1)
-            trajs.append(tg.reshape(P, -1, tg.shape[-1]))
+            trajs.append(np.asarray(tg.reshape(P, -1, tg.shape[-1])))
             done_blocks += nb
             since_resync += nb
             if (
