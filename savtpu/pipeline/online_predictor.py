@@ -277,7 +277,14 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
 
         full_blocks = (num_steps - n_sync) // block
         resync = int(getattr(sur, "resync_blocks", 0) or 0)
-        GROUP = min(8, resync) if resync else 8
+        # group size bounded by a device-memory budget: each block in the
+        # group keeps (P, block, S3) shared rows + (P, block/se, DL)
+        # trajectory live; ~2GB/block at 64 parts x 1912 DL killed the
+        # remote worker with the fixed group of 8
+        per_block_bytes = 4 * P * block * (S3 + sp.DL // max(se_run, 1))
+        GROUP = max(1, min(8, int(2_000_000_000 // max(per_block_bytes, 1))))
+        if resync:
+            GROUP = min(GROUP, resync)
         done_blocks = 0
         n_resync_steps = 0
         since_resync = 0
