@@ -100,10 +100,13 @@ def main():
     )
 
     # device path in float32 (benchmark dtype; parity runs use f64 on
-    # host). Each mode uses its measured-best F_int strategy: the
-    # VMEM-resident pallas whole-scan kernel for the comm-free headline,
-    # the dense HBM-streaming matvec for the exchanged path.
+    # host). Benchmark governance (VERDICT r2 #3): the comm-free headline
+    # is measured in BOTH candidate F_int modes (dense HBM-streaming
+    # matvec and VMEM-resident pallas whole-scan kernel), best-of-2 reps
+    # each to control cross-session variance, and the MAX is reported;
+    # per-mode numbers are recorded in BENCH_DETAILS.json.
     n_steps = 30_000
+    reps = 2
 
     def timed(fint_mode, sync):
         sp = ShardedProblem.build(
@@ -116,14 +119,21 @@ def main():
             d0, dn, 0.0, n_steps, sync=sync, record="none"
         )  # compile
         jax.block_until_ready(carry)
-        t0 = time.perf_counter()
-        (_, _), carry = solver.run(
-            d0, dn, 0.0, n_steps, sync=sync, record="none"
-        )
-        jax.block_until_ready(carry)
-        return n_steps / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            (_, _), carry = solver.run(
+                d0, dn, 0.0, n_steps, sync=sync, record="none"
+            )
+            jax.block_until_ready(carry)
+            best = max(best, n_steps / (time.perf_counter() - t0))
+        return best
 
-    avoid_sps = timed("pallas", sync=False)
+    avoid_by_mode = {
+        mode: timed(mode, sync=False) for mode in ("dense", "pallas")
+    }
+    avoid_mode = max(avoid_by_mode, key=avoid_by_mode.get)
+    avoid_sps = avoid_by_mode[avoid_mode]
     exch_sps = timed("dense", sync=True)
     base_sps = _numpy_baseline_steps_per_sec(prob, maps)
 
@@ -132,6 +142,8 @@ def main():
         "problem": "cantilever beam, 110 nodes / 256 tets, 2 shards",
         "device": str(jax.devices()[0]),
         "sync_avoiding_steps_per_sec": avoid_sps,
+        "sync_avoiding_mode": avoid_mode,
+        "sync_avoiding_by_mode": avoid_by_mode,
         "exchanged_steps_per_sec": exch_sps,
         "numpy_reference_loop_steps_per_sec": base_sps,
         "sync_avoid_over_exchanged": avoid_sps / exch_sps,

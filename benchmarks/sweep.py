@@ -40,9 +40,15 @@ from savtpu.solvers import setup_problem
 def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
                compensated=False, nh=False):
     cfg = Config()
-    cfg.beam_cells = (nx, ny, nz)
-    cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
-    prob = setup_problem(cfg, dtype=jnp.float32)
+    mesh = None
+    if nx == "ref":  # the reference repo's actual 256-tet beam VTK
+        from savtpu.mesh import read_vtk
+
+        mesh = read_vtk("/root/reference/Mesh_info/beam_coarse.vtk")
+    else:
+        cfg.beam_cells = (nx, ny, nz)
+        cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
+    prob = setup_problem(cfg, mesh=mesh, dtype=jnp.float32)
     epart = partition_elements(
         prob.mesh.tetra, prob.mesh.points, n_parts, "rcb"
     )
@@ -66,7 +72,7 @@ def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
     d0 = sp.localize(np.zeros(prob.ndof, np.float32))
 
     out = {
-        "mesh": f"{nx}x{ny}x{nz}",
+        "mesh": "ref_beam_256" if nx == "ref" else f"{nx}x{ny}x{nz}",
         "elements": len(prob.mesh.tetra),
         "ndof": prob.ndof,
         "n_parts": n_parts,
@@ -75,6 +81,16 @@ def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
         "exchange_mode": exchange,
         "compensated": compensated,
     }
+    # per-step exchange volume accounting (VERDICT r2 #5): psum moves a
+    # replicated (3*|global shared|,) buffer per part; the neighbor-packed
+    # permute moves only each pair's interface DOFs (sum over rounds of
+    # real packed slots). Counted from the maps — independent of timing.
+    out["psum_volume_dofs_per_part"] = sp.SD
+    if exchange == "permute" and sp.nx_mask is not None:
+        vol = np.asarray(sp.nx_mask).sum(axis=(1, 2))  # per-part send DOFs
+        out["permute_volume_dofs_per_part_max"] = float(vol.max())
+        out["permute_volume_dofs_per_part_mean"] = float(vol.mean())
+        out["permute_rounds"] = int(sp.nx_pack.shape[1])
     for sync, name in ((False, "sync_avoiding"), (True, "exchanged")):
         (_, _), c = sol.run(d0, d0, 0.0, steps, sync=sync, record="none")
         jax.block_until_ready(c)
@@ -92,7 +108,9 @@ def bench_case(nx, ny, nz, n_parts, mode, steps, exchange="psum",
 
 CASES = [
     # (nx, ny, nz, parts, mode, steps)
-    (25, 1, 1, 2, "dense", 20000),     # the reference benchmark problem
+    ("ref", 0, 0, 2, "dense", 20000),  # the reference's own 256-tet VTK
+    ("ref", 0, 0, 2, "pallas", 20000),
+    (25, 1, 1, 2, "dense", 20000),     # generated 25x1x1 beam (150 tets)
     (25, 1, 1, 2, "pallas", 20000),    # whole-scan kernel, K VMEM-resident
     (48, 4, 4, 8, "dense", 5000),
     (48, 4, 4, 8, "pallas", 5000),
@@ -105,8 +123,10 @@ CASES = [
     (192, 12, 12, 256, "dense", 1000),
     (384, 16, 16, 256, "banded", 500),  # 590k tets on one chip
     # exchanged-path halo variants (psum vs neighbor-packed permute)
+    (48, 4, 4, 8, "dense", 5000, "permute"),
     (96, 8, 8, 64, "dense", 2000, "permute"),
     (192, 12, 12, 64, "banded", 1000, "permute"),
+    (384, 16, 16, 256, "banded", 500, "permute"),
     # compensated (double-word f32) overhead check at two scales
     (48, 4, 4, 8, "dense", 5000, "psum", True),
     (192, 12, 12, 64, "banded", 1000, "psum", True),
@@ -128,7 +148,9 @@ def main():
         try:
             r = bench_case(*case)
         except Exception as e:  # keep sweeping on per-case failure
-            r = {"mesh": f"{case[0]}x{case[1]}x{case[2]}",
+            name = ("ref_beam_256" if case[0] == "ref"
+                    else f"{case[0]}x{case[1]}x{case[2]}")
+            r = {"mesh": name,
                  "n_parts": case[3], "fint_mode": case[4],
                  "error": f"{type(e).__name__}: {e}"}
         results.append(r)

@@ -704,12 +704,16 @@ class ShardedProblem:
         scripts/scratch_floor.py). Subtracting tbar before the product
         removes it for one vector mean + subtract per step."""
         P, DL = d.shape
-        L = (DL - 1) // 3
-        m = self.dof_mask[:, : DL - 1].reshape(P, L, 3)
-        dm = (d[:, : DL - 1] * self.dof_mask[:, : DL - 1]).reshape(P, L, 3)
+        # real DOF span is 3*L_max; pallas pads DL past it (pad_dl), so
+        # derive the node count from local_dofs_global, not from DL
+        n3 = self.local_dofs_global.shape[1]
+        L = n3 // 3
+        m = self.dof_mask[:, :n3].reshape(P, L, 3)
+        dm = (d[:, :n3] * self.dof_mask[:, :n3]).reshape(P, L, 3)
         mean = dm.sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
         tbar = jnp.concatenate(
-            [jnp.tile(mean, (1, L)), jnp.zeros((P, 1), dtype=d.dtype)],
+            [jnp.tile(mean, (1, L)),
+             jnp.zeros((P, DL - n3), dtype=d.dtype)],
             axis=1,
         )
         return tbar * self.dof_mask
@@ -865,8 +869,16 @@ class ShardedProblem:
 
             # v0 = d0 - dn is exact in fp for smooth states (Sterbenz);
             # the lo word starts empty — chunked callers re-enter here,
-            # injecting at most one ulp(d) perturbation per chunk
-            carry0 = (d0, jnp.zeros_like(d0), d0 - dn, jnp.zeros((), dtype))
+            # injecting at most one ulp(d) perturbation per chunk.
+            # Dirichlet slots are clamped once here (the per-step mask only
+            # touches the increment, so a nonzero *initial* value would
+            # otherwise persist — the plain path / reference zero d1 each
+            # step, Tools/Dynamic_solver.py:20).
+            d0c = d0 * self.bc_mask
+            dnc = dn * self.bc_mask
+            carry0 = (
+                d0c, jnp.zeros_like(d0), d0c - dnc, jnp.zeros((), dtype)
+            )
 
             def lower(c):
                 d_hi, d_lo, v, i = c

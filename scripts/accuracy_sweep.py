@@ -56,9 +56,11 @@ def main():
     )
     ap.add_argument("--f64", action="store_true",
                     help="float64 on CPU (method-accuracy mode)")
-    ap.add_argument("--compensated", action="store_true",
+    ap.add_argument("--compensated", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="double-word f32 state roll (TPU method-accuracy "
-                         "mode, docs/PRECISION.md)")
+                         "mode, docs/PRECISION.md); default None = config "
+                         "auto (on for f32)")
     args = ap.parse_args()
 
     from savtpu.config import Config

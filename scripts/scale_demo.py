@@ -34,8 +34,10 @@ def main():
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--cells", type=int, nargs=3, default=(48, 4, 4))
     ap.add_argument("--out", type=str, default="runs/scale_demo")
-    ap.add_argument("--compensated", action="store_true",
-                    help="double-word f32 state roll (docs/PRECISION.md)")
+    ap.add_argument("--compensated", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="double-word f32 state roll (docs/PRECISION.md); "
+                         "default None = config auto (on for f32)")
     ap.add_argument("--scale-mode", type=str, default="joint",
                     choices=["joint", "per_feature"],
                     help="surrogate feature scaling (per_feature for "

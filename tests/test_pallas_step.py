@@ -80,6 +80,59 @@ def test_pallas_exchanged_run_matches_dense():
     )
 
 
+def test_pallas_compensated_runs_and_matches_dense():
+    """Regression (ADVICE r2): compensated mode reshaped DL-1 columns into
+    (L, 3), which crashes at trace time when pallas pads DL to the kernel
+    tile — every f32 pipeline run auto-enables compensated, so pallas +
+    f32 was unusable. The translation mean must use the real DOF span."""
+    cfg = Config()
+    cfg.beam_cells = (8, 1, 1)
+    cfg.beam_extent = (8.0, 1.0, 1.0)
+    prob = setup_problem(cfg, dtype=jnp.float32)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    runs = {}
+    for mode in ("pallas", "dense"):
+        sp = ShardedProblem.build(
+            prob, maps, fint_mode=mode, dtype=jnp.float32, compensated=True
+        )
+        if mode == "pallas":  # the crash requires (DL-1) % 3 != 0
+            assert (sp.DL - 1) % 3 != 0
+        solver = ShardedSolver(sp, mesh=None)
+        (traj, _), _ = solver.run(
+            sp.localize(prob.d0), sp.localize(prob.dn), 0.0, 25, sync=True,
+        )
+        runs[mode] = np.asarray(traj)
+    DLd = runs["dense"].shape[-1]
+    assert np.allclose(
+        runs["pallas"][:, :, :DLd], runs["dense"], atol=1e-6
+    )
+
+
+def test_compensated_initial_dirichlet_clamped():
+    """Regression (ADVICE r2): a nonzero initial value at a Dirichlet DOF
+    must not persist — the plain path/reference zero d1 every step
+    (Tools/Dynamic_solver.py:20); compensated clamps at carry build."""
+    prob, maps, sp = _sharded(2, 8, "dense")
+    spc = ShardedProblem.build(prob, maps, fint_mode="dense",
+                               compensated=True)
+    solver = ShardedSolver(spc, mesh=None)
+    d0 = np.array(spc.localize(prob.d0))
+    bc = np.asarray(spc.bc_mask)
+    dirich = (np.asarray(spc.dof_mask) > 0) & (bc == 0)
+    assert dirich.any()
+    d0[dirich] = 7.5  # adversarial nonzero Dirichlet initial state
+    (traj, _), _ = solver.run(
+        jnp.asarray(d0), spc.localize(prob.dn), 0.0, 10, sync=True,
+    )
+    assert np.allclose(np.asarray(traj)[:, -1][dirich], 0.0)
+
+
 def test_pallas_whole_scan_kernel_matches_scan():
     """The VMEM-resident whole-scan kernel must reproduce the lax.scan
     comm-free path: final carry, shared trace, and the NN-overwrite

@@ -156,6 +156,39 @@ def test_stage1_under_device_mesh(tmp_path):
         assert np.allclose(a, b, atol=1e-12)
 
 
+def test_stage4_fused_under_device_mesh(tmp_path):
+    """The fused block-group scan (predictor + consensus + comm-free scan
+    + history roll in ONE dispatch) must agree with the single-device
+    emulation when run under a real 4-device shard_map mesh (VERDICT r2
+    #4). pred_consensus=True exercises the once-per-block cross-shard
+    psum inside the mapped body."""
+    import jax
+    from savtpu.parallel import make_device_mesh
+    from savtpu.pipeline import online_predictor, run_all
+    from savtpu.pipeline.common import build_context
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.partition.n_parts = 4
+    cfg.beam_cells = (8, 1, 1)
+    cfg.beam_extent = (8.0, 1.0, 1.0)
+    cfg.surrogate.stacked = True
+    cfg.surrogate.pred_consensus = True
+    run_all.run(cfg, verbose=False)  # stages 1-5, emulated stage 4
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    emu = [np.array(load_displacement(store.modeled_h5(r)))
+           for r in range(4)]
+
+    ctx2 = build_context(cfg, device_mesh=make_device_mesh(4))
+    assert ctx2.solver.mesh is not None
+    online_predictor.run(cfg, ctx=ctx2, verbose=False)
+    for r in range(4):
+        mesh_out = load_displacement(store.modeled_h5(r))
+        assert np.allclose(mesh_out, emu[r], atol=1e-12), r
+
+
 def test_effective_filter_matches_full_resolution_windows():
     """Storing 1 row every save_every steps and striding the stored trace
     by filter_size // save_every must reproduce the exact training windows
