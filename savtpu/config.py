@@ -64,6 +64,11 @@ class SolverConfig:
     # accuracy), off for float64 (already at the fp noise floor; keeps
     # strict formula parity with the f64 reference).
     compensated: Optional[bool] = None
+    # mid-run checkpointing (savtpu extension; the reference restarts only
+    # from complete artifacts, SURVEY.md §5): persist the scan carry and
+    # the recorded trajectory every ckpt_every steps in stages 1 and 4;
+    # a killed run resumes bit-exactly from the last checkpoint. 0 = off.
+    ckpt_every: int = 0
 
 
 @dataclass

@@ -127,6 +127,10 @@ class ArtifactStore:
     def modeled_h5(self, r: int) -> Path:
         return self.workdir / "Dynamics" / f"Modeled_Local-rank-{r}.hdf5"
 
+    # ---- mid-run checkpoints (savtpu extension; utils/checkpoint.py) ----
+    def ckpt_dir(self, stage: str) -> Path:
+        return self.workdir / "Checkpoints" / stage
+
     # ---- helpers ----
     def save_int_csv(self, path: Path, arr) -> None:
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -19,7 +19,8 @@ from ..solvers.steady import steady_displacement
 from .common import StageContext, build_context, rank_trajectory, save_partition_labels
 
 
-def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
+def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
+        resume: bool = True):
     if cfg.solver.deg == 2:
         # steady-only P2 path driven straight from config (the reference's
         # 'p=2 only works for steady case', Data_prepare.py:42): solve and
@@ -85,10 +86,20 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     # the history stays O(P * chunk * DL) however long the run is.
     # record="traj": stage 1 never consumes the shared trace (stage 2
     # re-derives it from the stored displacement), so don't transfer it.
-    (traj, _), carry = solver.run_streamed(
-        d0, dn, 0.0, num_steps, sync=True, record="traj",
-        save_every=save_every,
-    )
+    ckpt_every = cfg.solver.ckpt_every
+    if ckpt_every:
+        from ..utils.checkpoint import run_streamed_ckpt
+
+        (traj, _), carry = run_streamed_ckpt(
+            solver, d0, dn, 0.0, num_steps, sync=True, record="traj",
+            save_every=save_every, ckpt_dir=store.ckpt_dir("stage1"),
+            ckpt_every=ckpt_every, resume=resume, verbose=verbose,
+        )
+    else:
+        (traj, _), carry = solver.run_streamed(
+            d0, dn, 0.0, num_steps, sync=True, record="traj",
+            save_every=save_every,
+        )
     elapsed = time.perf_counter() - t_start
     if verbose:
         print(f"[data_prepare] {num_steps} steps in {elapsed:.2f}s "
@@ -111,6 +122,12 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
     )
     for r in range(sp.n_parts):
         save_displacement(store.dynamics_h5(r), rank_trajectory(ctx, traj, r))
+    if ckpt_every:
+        import shutil
+
+        # artifacts complete — drop the mid-run checkpoint
+        del traj
+        shutil.rmtree(store.ckpt_dir("stage1"), ignore_errors=True)
     return ctx
 
 
@@ -119,13 +136,21 @@ def main(argv=None):
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--parts", type=int, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=None,
+                    help="checkpoint the carry + trajectory every N steps")
+    ap.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="resume from an existing stage-1 checkpoint "
+                         "(--no-resume starts fresh)")
     args = ap.parse_args(argv)
     cfg = Config.from_json(args.config) if args.config else Config()
     if args.steps:
         cfg.solver.num_steps = args.steps
     if args.parts:
         cfg.partition.n_parts = args.parts
-    run(cfg)
+    if args.ckpt_every is not None:
+        cfg.solver.ckpt_every = args.ckpt_every
+    run(cfg, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -266,7 +266,8 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
     return run_block_group
 
 
-def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
+def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
+        resume: bool = True):
     if ctx is None:
         ctx = build_context(cfg)
     prob, sp, solver, store, maps = (
@@ -339,15 +340,67 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
         else 1
     )
 
+    # recorded trajectory buffer: every segment (warm-up, block groups,
+    # resync blocks, ragged tail, fallback blocks) writes in order at
+    # rec_off. With cfg.solver.ckpt_every the buffer is a disk-backed
+    # memmap plus a carry/history state file saved at group boundaries, so
+    # a killed stage-4 run resumes bit-exactly (stacked path only).
+    n_rec_total = num_steps // se_run
+    use_ckpt = bool(cfg.solver.ckpt_every) and stacked_ok
+    tstore = None
+    ck_extras = {}
+    start_steps = 0
+    if use_ckpt:
+        from ..utils.checkpoint import TrajStore
+
+        tstore = TrajStore(
+            store.ckpt_dir("stage4"), P, sp.DL, S3, n_rec_total, W,
+            state_dtype, True, True,  # "shared" slot holds the W-window
+        )
+        ck_expect = {
+            "num_steps": num_steps, "save_every": se_run, "P": P,
+            "DL": sp.DL, "n_sync": n_sync, "block": block,
+        }
+        start_steps, ck_extras = tstore.resume_step(ck_expect, resume)
+        tstore.open(fresh=start_steps == 0)
+        traj_full = tstore.mm["traj"]
+    else:
+        traj_full = np.empty(
+            (P, n_rec_total, sp.DL), dtype=np.dtype(state_dtype)
+        )
+
+    rec_off = 0
+
+    def write_seg(arr):
+        nonlocal rec_off
+        n = arr.shape[1]
+        traj_full[:, rec_off : rec_off + n] = np.asarray(arr)
+        rec_off += n
+
     t_start = time.perf_counter()
-    d0 = sp.localize(prob.d0)
-    dn = sp.localize(prob.dn)
-    (traj0, shared0), carry = solver.run_streamed(
-        d0, dn, 0.0, n_sync, sync=True, record="all", save_every=se_run
-    )
-    if shared_hist is not None:
-        shared_hist[:, :n_sync] = shared0
-    trajs = [traj0]
+    if start_steps:
+        import jax
+
+        if verbose:
+            print(f"[online] resuming at step {start_steps}/{num_steps}")
+        rec_off = start_steps // se_run
+        carry = (
+            jnp.asarray(ck_extras["d0"], state_dtype),
+            jnp.asarray(ck_extras["dn"], state_dtype),
+            jnp.asarray(float(ck_extras["tn"])),
+        )
+        shared0 = np.asarray(tstore.mm["shared"])  # trailing W window
+    else:
+        d0 = sp.localize(prob.d0)
+        dn = sp.localize(prob.dn)
+        (traj0, shared0), carry = solver.run_streamed(
+            d0, dn, 0.0, n_sync, sync=True, record="all",
+            save_every=se_run,
+        )
+        if shared_hist is not None:
+            shared_hist[:, :n_sync] = shared0
+        write_seg(traj0)
+        shared0 = shared0[:, -W:]
 
     if stacked_ok:
         import jax
@@ -384,9 +437,27 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
         GROUP = max(1, min(8, int(2_000_000_000 // max(per_block_bytes, 1))))
         if resync:
             GROUP = min(GROUP, resync)
-        done_blocks = 0
-        n_resync_steps = 0
-        since_resync = 0
+        done_blocks = int(ck_extras.get("done_blocks", 0))
+        n_resync_steps = int(ck_extras.get("n_resync_steps", 0))
+        since_resync = int(ck_extras.get("since_resync", 0))
+
+        def save_ckpt():
+            if tstore is None:
+                return
+            tstore.mm["shared"][:] = np.asarray(
+                hist_dev, dtype=np.dtype(state_dtype)
+            )
+            tstore.save_state(
+                carry, n_sync + done_blocks * block, ck_expect,
+                extras={
+                    "done_blocks": done_blocks,
+                    "n_resync_steps": n_resync_steps,
+                    "since_resync": since_resync,
+                },
+            )
+
+        if use_ckpt and not start_steps:
+            save_ckpt()  # warm-up completed
         while done_blocks < full_blocks:
             nb = min(GROUP, full_blocks - done_blocks)
             if resync:
@@ -401,7 +472,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             # bounded at large P*DL (one ~1GB end-of-run fetch crashed the
             # remote worker at 64 parts x 1912 DL)
             tg = jnp.moveaxis(trajs_g, 0, 1)
-            trajs.append(np.asarray(tg.reshape(P, -1, tg.shape[-1])))
+            write_seg(tg.reshape(P, -1, tg.shape[-1]))
             done_blocks += nb
             since_resync += nb
             if (
@@ -445,10 +516,11 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
                     [hist_dev, jnp.asarray(shared_s, hist_dev.dtype)],
                     axis=1,
                 )[:, -W:]
-                trajs.append(traj_s)
+                write_seg(traj_s)
                 done_blocks += 1
                 n_resync_steps += block
                 since_resync = 0
+            save_ckpt()
             if verbose:
                 print(
                     f"[online] step {n_sync + done_blocks * block}"
@@ -478,7 +550,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
                 d0c, dnc, tc, n, sync=False, preds=preds,
                 save_every=se_run,
             )
-            trajs.append(traj_b)
+            write_seg(traj_b)
             i = num_steps
 
     # per-rank fallback loop (stacked path has already consumed all steps)
@@ -521,7 +593,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
             save_every=se_run,
         )
         shared_hist[:, i : i + n] = np.asarray(shared_b)
-        trajs.append(np.asarray(traj_b))
+        write_seg(traj_b)
         i += n
         if verbose:
             print(f"[online] step {i}/{num_steps}")
@@ -551,11 +623,16 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True):
         n_parts=P,
     )
 
-    traj = np.concatenate(trajs, axis=1)  # (P, T/se_run, DL)
+    assert rec_off == n_rec_total, (rec_off, n_rec_total)
+    traj = np.asarray(traj_full)  # (P, T/se_run, DL)
     if se_run == 1 and se > 1:
         traj = traj[:, ::se, :]
     for r in range(P):
         save_displacement(store.modeled_h5(r), rank_trajectory(ctx, traj, r))
+    if tstore is not None:
+        # artifacts are complete — drop the mid-run checkpoint so a future
+        # run of a (possibly reconfigured) stage starts fresh
+        tstore.cleanup()
     return ctx
 
 
@@ -563,11 +640,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="savtpu stage 4: online predictor")
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=None,
+                    help="checkpoint carry + trajectory at block-group "
+                         "boundaries (any nonzero value enables)")
+    ap.add_argument("--resume", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="resume from an existing stage-4 checkpoint "
+                         "(--no-resume starts fresh)")
     args = ap.parse_args(argv)
     cfg = Config.from_json(args.config) if args.config else Config()
     if args.steps:
         cfg.solver.num_steps = args.steps
-    run(cfg)
+    if args.ckpt_every is not None:
+        cfg.solver.ckpt_every = args.ckpt_every
+    run(cfg, resume=args.resume)
 
 
 if __name__ == "__main__":
