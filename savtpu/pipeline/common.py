@@ -41,13 +41,27 @@ def build_context(
     device_mesh=None,
     dtype=jnp.float64,
 ) -> StageContext:
+    import time
+
     if cfg.solver.deg != 1:
         raise NotImplementedError(
             "the distributed dynamic pipeline is P1-only; deg=2 is "
             "steady-only, like the reference (Data_prepare.py:42) — use "
             "savtpu.pipeline.data_prepare.run or api.Simulation.steady()"
         )
+    # phase timings land in metrics.jsonl (VERDICT r2 #9: setup was 70%
+    # of demo wall time with no breakdown)
+    tmarks = {}
+    t0 = time.perf_counter()
+
+    def mark(name):
+        nonlocal t0
+        t1 = time.perf_counter()
+        tmarks[name] = round(t1 - t0, 3)
+        t0 = t1
+
     prob = setup_problem(cfg, mesh=mesh, dtype=dtype)
+    mark("assembly_s")
     epart = partition_elements(
         prob.mesh.tetra,
         prob.mesh.points,
@@ -64,6 +78,7 @@ def build_context(
     maps = build_partition_maps(
         prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
     )
+    mark("partition_s")
     compensated = cfg.solver.compensated
     if compensated is None:
         # auto: compensate f32 runs (docs/PRECISION.md §4 — zero cost,
@@ -90,8 +105,18 @@ def build_context(
         exchange_mode=cfg.solver.exchange_mode,
         compensated=compensated, material=material,
     )
+    mark("device_pack_s")
     solver = ShardedSolver(sp, mesh=device_mesh)
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    from ..utils import stage_log
+
+    stage_log(cfg).log(
+        "setup_breakdown",
+        n_parts=cfg.partition.n_parts,
+        elements=len(prob.mesh.tetra),
+        fint_mode=sp.fint_mode,
+        **tmarks,
+    )
     return StageContext(cfg, prob, maps, sp, solver, store)
 
 
