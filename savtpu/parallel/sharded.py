@@ -1055,8 +1055,44 @@ class ShardedSolver:
         )
         return vmem < self._PALLAS_VMEM_LIMIT
 
+    def _banded_scan_ok(self, sync, record, preds, blend):
+        """Band-resident whole-scan kernel: comm-free single-device
+        stepping with no recording/overwrite and the band in VMEM
+        (ops/pallas_banded.py — the big-DL regime where dense K cannot
+        fit; VERDICT r2 #6)."""
+        sp = self.sp
+        if (
+            self.mesh is not None
+            or sync
+            or preds is not None
+            or blend is not None
+            or sp.fint_mode != "banded"
+            or sp.compensated
+            or record != "none"
+        ):
+            return False
+        from ..ops.pallas_banded import banded_scan_vmem_bytes
+
+        P, nc, Bk, _ = sp.band_Kd.shape
+        itemsize = np.dtype(sp.lM.dtype).itemsize
+        return (
+            banded_scan_vmem_bytes(P, nc, Bk, itemsize)
+            < self._PALLAS_VMEM_LIMIT
+        )
+
     def run(self, d0, dn, t0, num_steps, *, sync=True, preds=None,
             blend=None, record="all", save_every=1):
+        if self._banded_scan_ok(sync, record, preds, blend):
+            from ..ops.pallas_banded import pallas_scan_comm_free_banded
+
+            sp = self.sp
+            d0f, dnf, tf = pallas_scan_comm_free_banded(
+                sp.band_Kd, sp.band_Kl, d0, dn,
+                jnp.asarray(t0, d0.dtype), sp.F_pre, sp.lM, sp.bc_mask,
+                num_steps=num_steps, dt=sp.dt, alpha=sp.alpha,
+                ramped=sp.ramped,
+            )
+            return (None, None), (d0f, dnf, tf)
         if self._pallas_scan_ok(sync, record, save_every, num_steps):
             from ..ops.pallas_step import pallas_scan_comm_free
 

@@ -80,6 +80,42 @@ def test_pallas_exchanged_run_matches_dense():
     )
 
 
+@pytest.mark.parametrize("cells", [(8, 1, 1), (25, 2, 2)])
+def test_banded_whole_scan_kernel_matches_scan(cells):
+    """The band-resident whole-scan kernel (ops/pallas_banded.py) must
+    reproduce the lax.scan banded comm-free path. (25,2,2) gives nc=3
+    chunks, exercising the sub/super-diagonal lanes; (8,1,1) is the
+    single-chunk case."""
+    cfg = Config()
+    cfg.beam_cells = cells
+    cfg.beam_extent = (float(cells[0]) / max(cells[1], 1), 1.0, 1.0)
+    prob = setup_problem(cfg)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="banded")
+    solver = ShardedSolver(sp, mesh=None)
+    d0 = sp.localize(prob.d0)
+    dn = sp.localize(prob.dn)
+    num_steps = 30
+
+    # oracle: force the scan path via record="all"
+    (_, _), carry_scan = solver.run(
+        d0, dn, 0.0, num_steps, sync=False, record="all"
+    )
+    assert solver._banded_scan_ok(False, "none", None, None)
+    (t_none, s_none), carry_k = solver.run(
+        d0, dn, 0.0, num_steps, sync=False, record="none"
+    )
+    assert t_none is None and s_none is None
+    for a, b in zip(carry_scan, carry_k):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
 def test_pallas_compensated_runs_and_matches_dense():
     """Regression (ADVICE r2): compensated mode reshaped DL-1 columns into
     (L, 3), which crashes at trace time when pallas pads DL to the kernel
