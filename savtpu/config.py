@@ -171,6 +171,22 @@ class SurrogateConfig:
                               # (post-warm-up history is pure model
                               # feedback, Online_predictor.py:298-301).
                               # 1 = the reference's single-window training.
+    pred_anchor: bool = False  # savtpu extension: per-block exchanged
+                               # anchoring. At each block start, ONE
+                               # exchanged step from the current state
+                               # gives the true interface response d1* on
+                               # the shared DOFs; the whole predicted
+                               # block is de-biased by (d1* - pred[0]).
+                               # Targets the in-band closed-loop
+                               # autoregressive drift that dominates the
+                               # fine-mesh error (runs/noise_transfer +
+                               # pred_spectrum: closed-loop error is ~99%
+                               # in-band; in-band gain ~3.6x). One psum
+                               # per 3000-step block — the same traffic
+                               # class as pred_consensus, 3000x below the
+                               # per-step exchange. Exact predictions are
+                               # a fixed point (delta = 0), unlike
+                               # resync_blocks' whole-block release.
 
     @property
     def epochs(self) -> int:

@@ -163,6 +163,17 @@ def prediction_consensus(preds, sgi, smask, SD, cnt=None,
     return jnp.moveaxis(out, 0, 1)
 
 
+def anchor_block(sp, carry, preds):
+    """``pred_anchor`` outside the fused runner (ragged tail, resync and
+    per-rank fallback paths): one exchanged step from the current carry,
+    de-bias the predicted block by the step-0 shared-row discrepancy."""
+    d0b, dnb, tb = carry
+    F = sp._exchange(sp._fint_stacked(d0b), lambda x: x)
+    d1 = sp._update(d0b, dnb, tb, F)
+    delta = (sp._gather_shared(d1) - preds[:, 0, :]) * sp.smask
+    return preds + delta[:, None, :]
+
+
 def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
     """Build the fused block-group executor: ``nb`` blocks of the online
     schedule — phase-interleaved prediction, owner consensus, the
@@ -182,6 +193,7 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
 
     sp = solver.sp
     consensus_on = bool(sur.pred_consensus)
+    anchor_on = bool(getattr(sur, "pred_anchor", False))
     cnt_global = jnp.asarray(
         owner_counts(sp.sgi, sp.smask, sp.SD), dtype=state_dtype
     )
@@ -207,6 +219,17 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
                 preds = smooth_preds(
                     preds, hist.astype(state_dtype), sur.pred_smooth
                 )
+            if anchor_on:
+                # per-block exchanged anchoring (SurrogateConfig.
+                # pred_anchor): one exchanged step from the current state
+                # gives the true interface response; de-bias the whole
+                # block by the step-0 discrepancy. One psum per block.
+                F_a = lsp._exchange(lsp._fint_stacked(d0b), reduce_fn)
+                d1a = lsp._update(d0b, dnb, tb, F_a)
+                delta = (
+                    lsp._gather_shared(d1a) - preds[:, 0, :]
+                ) * lsp.smask
+                preds = preds + delta[:, None, :]
             (traj_b, shared_b), (d1, dprev, t1) = lsp.stacked_run(
                 d0b, dnb, tb, block, sync=False, preds=preds,
                 record="all", save_every=se_run,
@@ -545,6 +568,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 preds = smooth_preds(
                     preds, hist_dev.astype(state_dtype), sur.pred_smooth
                 )
+            if getattr(sur, "pred_anchor", False):
+                preds = anchor_block(sp, carry, preds)
             d0c, dnc, tc = carry
             (traj_b, shared_b), carry = solver.run(
                 d0c, dnc, tc, n, sync=False, preds=preds,
@@ -586,6 +611,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         preds = jnp.asarray(preds, dtype=state_dtype)
         if sur.pred_consensus:
             preds = prediction_consensus(preds, sp.sgi, sp.smask, sp.SD)
+        if getattr(sur, "pred_anchor", False):
+            preds = anchor_block(sp, carry, preds)
         d0c, dnc, tc = carry
         (traj_b, shared_b), carry = solver.run(
             d0c, dnc, tc, n,

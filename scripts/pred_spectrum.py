@@ -159,6 +159,8 @@ def main():
             )
             nxt = true[:, lo : lo + block] if mode == "teacher" else preds
             hist = np.concatenate([hist, nxt], axis=1)[:, -W:]
+            if b % 8 == 0:
+                print(f"[{mode}] block {b}/{n_blocks}", flush=True)
         e_in, e_out = split(err_all)
         res[f"{mode}_eps"] = float(np.linalg.norm(err_all) / tnorm)
         res[f"{mode}_eps_in"] = float(e_in)

@@ -189,6 +189,57 @@ def test_stage4_fused_under_device_mesh(tmp_path):
         assert np.allclose(mesh_out, emu[r], atol=1e-12), r
 
 
+def test_pred_anchor_fixed_point():
+    """pred_anchor's exchanged-step de-bias is a no-op on exact
+    predictions: anchor = the true next shared row, so delta == 0 and the
+    perfect-prediction identity is preserved."""
+    import jax.numpy as jnp
+
+    from savtpu.mesh import dirichlet_nodes
+    from savtpu.parallel import (
+        ShardedProblem, build_partition_maps, partition_elements,
+    )
+    from savtpu.parallel.sharded import ShardedSolver
+    from savtpu.pipeline.online_predictor import anchor_block
+    from savtpu.solvers import setup_problem
+
+    cfg = Config()
+    cfg.beam_cells = (8, 1, 1)
+    cfg.beam_extent = (8.0, 1.0, 1.0)
+    prob = setup_problem(cfg)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 2, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(prob, maps, fint_mode="dense")
+    solver = ShardedSolver(sp, mesh=None)
+    d0, dn = sp.localize(prob.d0), sp.localize(prob.dn)
+    (_, _), carry0 = solver.run(d0, dn, 0.0, 10, sync=True, record="none")
+    (_, true_rows), _ = solver.run(*carry0, 20, sync=True, record="shared")
+    out = anchor_block(sp, carry0, jnp.asarray(true_rows))
+    assert np.allclose(np.asarray(out), np.asarray(true_rows), atol=1e-14)
+
+
+def test_pipeline_pred_anchor(tmp_path):
+    """End-to-end smoke with per-block exchanged anchoring on: warm-up
+    equality and bounded trajectories hold."""
+    cfg = _smoke_cfg(tmp_path)
+    cfg.surrogate.stacked = True
+    cfg.surrogate.pred_anchor = True
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_sync = cfg.surrogate.i_cri + 1
+    for r in range(2):
+        data = load_displacement(store.dynamics_h5(r))
+        pred = load_displacement(store.modeled_h5(r))
+        assert np.isfinite(pred).all()
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        assert np.abs(pred).max() < 10 * max(np.abs(data).max(), 1e-12)
+
+
 def test_stage1_kill_and_resume(tmp_path):
     """cfg.solver.ckpt_every: a stage-1 run killed mid-solve resumes from
     the last checkpoint and produces bit-identical HDF5 artifacts
