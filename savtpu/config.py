@@ -171,6 +171,20 @@ class SurrogateConfig:
                               # (post-warm-up history is pure model
                               # feedback, Online_predictor.py:298-301).
                               # 1 = the reference's single-window training.
+    modal_dim: int = 0  # savtpu extension: train each rank's surrogate in
+                        # the k-dimensional spatial-mode subspace of its
+                        # shared trace (PCA of the training portion)
+                        # instead of raw DOF space. The measured interface
+                        # motion is spatially near-rank-1 (one mode holds
+                        # 99.99% of the 96x8x8 trace energy), so a
+                        # 486-channel LSTM wastes its capacity and spreads
+                        # prediction error over ~485 signal-free
+                        # directions, each of which forces the structure
+                        # (out-of-band gain ~15x, runs/noise_transfer).
+                        # Coefficients are predicted, the block is
+                        # reconstructed as mu + coef @ basis — orthogonal
+                        # error is zero BY CONSTRUCTION. 0 = off
+                        # (reference behavior).
     pred_anchor: bool = False  # savtpu extension: per-block exchanged
                                # anchoring. At each block start, ONE
                                # exchanged step from the current state

@@ -48,6 +48,19 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     results = {}
     for r in range(n_parts):
         trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
+        modal_meta = {}
+        if sur.modal_dim:
+            from ..models.modal import modal_basis, to_modal
+
+            n_train = int(sur.cut_off * len(trace))
+            mu, basis = modal_basis(trace[:n_train], sur.modal_dim)
+            modal_meta = {
+                "modal_dim": int(basis.shape[0]),
+                "modal_phys_size": int(trace.shape[1]),
+                "modal_mean": mu.tolist(),
+                "modal_basis": basis.tolist(),
+            }
+            trace = to_modal(trace, mu, basis)
         input_size = trace.shape[1]
         X, Y = strided_windows(
             trace, sur.n_past, sur.n_future * sur.rollout_windows,
@@ -72,6 +85,7 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
             store.model_file(r),
             params,
             meta={
+                **modal_meta,
                 "input_size": int(input_size),
                 "hidden_size": sur.hidden_size,
                 "num_layers_encoder": sur.num_layers_encoder,
@@ -143,6 +157,24 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
         dims.append(tr.shape[1])
     Dmax = max(dims)
 
+    # modal-subspace representation (SurrogateConfig.modal_dim): replace
+    # each rank's raw trace with its k PCA-mode coefficients; the basis
+    # comes from the training (cut_off) portion only, like the scaling.
+    modal = int(sur.modal_dim or 0)
+    modal_mus, modal_bases = [], []
+    if modal:
+        from ..models.modal import modal_basis, to_modal
+
+        phys_dims = dims
+        for r in range(n_parts):
+            n_train = int(sur.cut_off * len(traces[r]))
+            mu, basis = modal_basis(traces[r][:n_train], modal)
+            modal_mus.append(mu)
+            modal_bases.append(basis)
+            traces[r] = to_modal(traces[r], mu, basis)
+        dims = [t.shape[1] for t in traces]
+        Dmax = max(dims)
+
     per_feature = sur.scale_mode == "per_feature"
     Xs, Ys, smaxs, smins = [], [], [], []
     for tr in traces:
@@ -208,10 +240,19 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
             k: hist[k][:, r].tolist() for k in hist
         }
         store.save_training_curves(r, hist_r)
+        modal_meta = {}
+        if modal:
+            modal_meta = {
+                "modal_dim": int(dims[r]),
+                "modal_phys_size": int(phys_dims[r]),
+                "modal_mean": modal_mus[r].tolist(),
+                "modal_basis": modal_bases[r].tolist(),
+            }
         save_params(
             store.model_file(r),
             params_r,
             meta={
+                **modal_meta,
                 "input_size": int(Dmax),
                 "real_input_size": int(dims[r]),
                 "padded_input": True,

@@ -68,6 +68,14 @@ def load_rank_models(ctx: StageContext):
         from .model_training import effective_filter
 
         trace = load_displacement(ctx.store.shared_dof_h5(r)).T
+        modal_info = None
+        if meta.get("modal_dim"):
+            from ..models.modal import to_modal
+
+            mu = np.asarray(meta["modal_mean"], dtype=np.float64)
+            basis = np.asarray(meta["modal_basis"], dtype=np.float64)
+            modal_info = (mu, basis)
+            trace = to_modal(trace, mu, basis)
         X, Y = strided_windows(
             trace, sur.n_past,
             sur.n_future * int(meta.get("rollout_windows", 1) or 1),
@@ -96,6 +104,7 @@ def load_rank_models(ctx: StageContext):
                 meta_min if meta_min.ndim else float(meta_min),
                 int(meta["input_size"]),
                 bool(meta.get("padded_input", False)),
+                modal_info,
             )
         )
     return models
@@ -174,7 +183,38 @@ def anchor_block(sp, carry, preds):
     return preds + delta[:, None, :]
 
 
-def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
+def modal_predict_stacked(sparams, hist, smaxv, sminv, sur, modal,
+                          fmaskv):
+    """Stacked phase-interleaved block prediction with optional modal
+    projection: physical history (P, W, S3) -> physical block (P, T, S3).
+    ``modal`` is None or (mu (P,S3), basis (P,K,S3), coef_mask (P,K))."""
+    import jax.numpy as jnp
+
+    from ..models.predictor import phase_interleaved_predict_stacked
+
+    if modal is None:
+        return phase_interleaved_predict_stacked(
+            sparams, hist, smaxv, sminv,
+            sur.n_past, sur.n_future, sur.filter_size, feat_mask=fmaskv,
+        )
+    mu, basis, fmc = modal
+    histc = jnp.einsum(
+        "pwd,pkd->pwk", hist - mu[:, None, :].astype(hist.dtype),
+        basis.astype(hist.dtype),
+    )
+    coefs = phase_interleaved_predict_stacked(
+        sparams, histc, smaxv, sminv,
+        sur.n_past, sur.n_future, sur.filter_size, feat_mask=fmc,
+    )
+    out = (
+        jnp.einsum("ptk,pkd->ptd", coefs, basis.astype(coefs.dtype))
+        + mu[:, None, :].astype(coefs.dtype)
+    )
+    return out * fmaskv[:, None, :].astype(out.dtype)
+
+
+def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
+                            modal=None):
     """Build the fused block-group executor: ``nb`` blocks of the online
     schedule — phase-interleaved prediction, owner consensus, the
     comm-free ``block``-step scan, and the history roll — as ONE compiled
@@ -199,15 +239,14 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
     )
 
     def block_group_body(data, d0c, dnc, tc, hist, sparams, smaxv,
-                         sminv, fmaskv, cnt, nb, reduce_fn):
+                         sminv, fmaskv, cnt, mavs, nb, reduce_fn):
         lsp = solver._local_view(data)
 
         def one_block(c, _):
             d0b, dnb, tb, hist = c
-            blockpred = phase_interleaved_predict_stacked(
-                sparams, hist, smaxv, sminv,
-                sur.n_past, sur.n_future, sur.filter_size,
-                feat_mask=fmaskv,
+            blockpred = modal_predict_stacked(
+                sparams, hist, smaxv, sminv, sur,
+                mavs if mavs else None, fmaskv,
             )
             preds = blockpred.astype(state_dtype)
             if consensus_on:
@@ -277,14 +316,14 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W):
                     local,
                     mesh=solver.mesh,
                     in_specs=(data_specs, shard, shard, _P(), shard,
-                              shard, shard, shard, shard, _P()),
+                              shard, shard, shard, shard, _P(), shard),
                     out_specs=((shard, shard, _P()), shard,
                                _P(None, AXIS)),
                     check_vma=False,
                 ))
             _bg_cache[nb] = fn
         return fn(data, d0c, dnc, tc, hist, sparams, smaxv, sminv,
-                  fmaskv, cnt_global)
+                  fmaskv, cnt_global, tuple(modal) if modal else ())
 
     return run_block_group
 
@@ -316,8 +355,24 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         )
 
     # stacked fast path: all models padded to the same width -> one
-    # vmapped predictor call per block, shared history device-resident
-    stacked_ok = all(m[4] and m[3] == S3 for m in models) and P > 0
+    # vmapped predictor call per block, shared history device-resident.
+    # With modal_dim the models consume/emit K mode coefficients; the
+    # projection to/from physical shared rows happens around the predictor
+    # (SurrogateConfig.modal_dim).
+    modal_on = P > 0 and all(m[5] is not None for m in models)
+    some_modal = any(m[5] is not None for m in models)
+    if modal_on:
+        stacked_ok = (
+            all(m[4] for m in models)
+            and len({m[3] for m in models}) == 1
+        )
+    else:
+        stacked_ok = (
+            not some_modal
+            and all(m[4] and m[3] == S3 for m in models)
+            and P > 0
+        )
+    modal_pack = None
     if stacked_ok:
         import jax
 
@@ -330,6 +385,23 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         for r in range(P):
             fmask_v[r, : 3 * len(maps.shared_nodes[r])] = 1.0
         fmask_v = jnp.asarray(fmask_v, dtype=jnp.dtype(sur.dtype))
+        if modal_on:
+            K = models[0][3]
+            mu_np = np.zeros((P, S3))
+            basis_np = np.zeros((P, K, S3))
+            fmc = np.zeros((P, K), np.float32)
+            for r, m in enumerate(models):
+                mu, basis = m[5]
+                Dr = mu.shape[0]
+                mu_np[r, :Dr] = mu
+                basis_np[r, : basis.shape[0], :Dr] = basis
+                fmc[r, : basis.shape[0]] = 1.0
+            dt_ = jnp.dtype(sur.dtype)
+            modal_pack = (
+                jnp.asarray(mu_np, dt_),
+                jnp.asarray(basis_np, dt_),
+                jnp.asarray(fmc, dt_),
+            )
 
     # shared-DOF history — feeds the predictor. The stacked fast path only
     # ever reads the trailing W = n_past*filter_size rows, so it keeps a
@@ -447,7 +519,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         sp_data = solver._data()
         run_block_group = make_block_group_runner(
             solver, sur, block=block, se_run=se_run,
-            state_dtype=state_dtype, W=W,
+            state_dtype=state_dtype, W=W, modal=modal_pack,
         )
 
         full_blocks = (num_steps - n_sync) // block
@@ -513,10 +585,9 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 # x10-30 amplitude per hard-resync block). The smoothstep
                 # ramp releases it quasi-statically and re-anchors the
                 # prediction history to real dynamics.
-                blockpred = phase_interleaved_predict_stacked(
-                    stacked_params, hist_dev, smax_v, smin_v,
-                    sur.n_past, sur.n_future, sur.filter_size,
-                    feat_mask=fmask_v,
+                blockpred = modal_predict_stacked(
+                    stacked_params, hist_dev, smax_v, smin_v, sur,
+                    modal_pack, fmask_v,
                 )
                 preds_s = blockpred.astype(state_dtype)
                 if sur.pred_consensus:
@@ -554,10 +625,9 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         if stacked_ok and i < num_steps:
             # ragged tail (< one block): single fused-block call
             n = num_steps - i
-            blockpred = phase_interleaved_predict_stacked(
-                stacked_params, hist_dev, smax_v, smin_v,
-                sur.n_past, sur.n_future, sur.filter_size,
-                feat_mask=fmask_v,
+            blockpred = modal_predict_stacked(
+                stacked_params, hist_dev, smax_v, smin_v, sur,
+                modal_pack, fmask_v,
             )
             preds = blockpred[:, :n, :].astype(state_dtype)
             if sur.pred_consensus:
@@ -587,8 +657,33 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             Dr = 3 * len(maps.shared_nodes[r])
             if Dr == 0:
                 continue
-            params, smax, smin, D_in, padded = models[r]
+            params, smax, smin, D_in, padded, m_info = models[r]
             fmask = None
+            if m_info is not None:
+                # modal model: project the physical window to mode
+                # coefficients, predict, reconstruct (models/modal.py)
+                from ..models.modal import from_modal, to_modal
+
+                mu, basis = m_info
+                hist_p = shared_hist[
+                    r, i - sur.n_past * sur.filter_size : i, : mu.shape[0]
+                ]
+                histc = np.zeros((hist_p.shape[0], D_in))
+                histc[:, : basis.shape[0]] = to_modal(hist_p, mu, basis)
+                fmask = jnp.zeros((D_in,), dtype=jnp.dtype(sur.dtype))
+                fmask = fmask.at[: basis.shape[0]].set(1.0)
+                coefs = phase_interleaved_predict(
+                    params,
+                    jnp.asarray(histc, dtype=jnp.dtype(sur.dtype)),
+                    smax, smin,
+                    sur.n_past, sur.n_future, sur.filter_size,
+                    feat_mask=fmask,
+                )
+                rec = from_modal(
+                    np.asarray(coefs)[:n, : basis.shape[0]], mu, basis
+                )
+                preds[r, :, : Dr] = rec[:, :Dr]
+                continue
             if padded:
                 # stacked-trained model: feed the padded trailing window
                 # (zeros on pad dims before scaling — the training

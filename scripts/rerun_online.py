@@ -45,6 +45,11 @@ def main():
                     help="epochs per training dispatch (lower for large "
                          "window counts; remote watchdog)")
     ap.add_argument("--no-consensus", action="store_true")
+    ap.add_argument("--anchor", action="store_true",
+                    help="per-block exchanged anchoring (pred_anchor)")
+    ap.add_argument("--modal", type=int, default=0,
+                    help="train surrogates on k PCA mode coefficients "
+                         "(modal_dim; retrains stage 3)")
     ap.add_argument("--compensated", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -67,7 +72,11 @@ def main():
     cfg.surrogate.pred_smooth = args.smooth
     cfg.surrogate.resync_blocks = args.resync
     cfg.surrogate.pred_consensus = not args.no_consensus
+    cfg.surrogate.pred_anchor = args.anchor
     retrain = False
+    if args.modal:
+        cfg.surrogate.modal_dim = args.modal
+        retrain = True
     if args.filter_size:
         cfg.surrogate.filter_size = args.filter_size
         retrain = True
@@ -97,6 +106,8 @@ def main():
             if k.startswith("rank_") and k.endswith("rel_l2_nonshared")]
     summary = {
         "smooth": args.smooth,
+        "anchor": args.anchor,
+        "modal_dim": args.modal,
         "resync_blocks": args.resync,
         "filter_size": cfg.surrogate.filter_size,
         "n_past": cfg.surrogate.n_past,
@@ -109,6 +120,10 @@ def main():
     }
     print(json.dumps(summary, indent=2))
     tag = f"smooth{args.smooth}" + ("_nc" if args.no_consensus else "")
+    if args.anchor:
+        tag += "_anchor"
+    if args.modal:
+        tag += f"_modal{args.modal}"
     if args.resync:
         tag += f"_rs{args.resync}"
     if args.filter_size:

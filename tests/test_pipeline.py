@@ -189,6 +189,48 @@ def test_stage4_fused_under_device_mesh(tmp_path):
         assert np.allclose(mesh_out, emu[r], atol=1e-12), r
 
 
+@pytest.mark.parametrize("stacked", [True, False])
+def test_pipeline_modal_surrogate(tmp_path, stacked):
+    """modal_dim: surrogates trained on PCA mode coefficients; the online
+    stage projects histories and reconstructs physical predictions, on
+    both the stacked fast path and the per-rank fallback."""
+    import json
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.surrogate.stacked = stacked
+    cfg.surrogate.modal_dim = 3
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_sync = cfg.surrogate.i_cri + 1
+    for r in range(2):
+        data = load_displacement(store.dynamics_h5(r))
+        pred = load_displacement(store.modeled_h5(r))
+        assert np.isfinite(pred).all()
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        assert np.abs(pred).max() < 10 * max(np.abs(data).max(), 1e-12)
+        meta = json.loads(store.model_file(r).with_suffix(".json").read_text())
+        assert meta["modal_dim"] == 3
+        assert len(meta["modal_basis"]) == 3
+
+
+def test_modal_basis_roundtrip():
+    """A spatially low-rank trace reconstructs through its modal basis to
+    numerical precision."""
+    from savtpu.models.modal import from_modal, modal_basis, to_modal
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 300)
+    shapes = rng.normal(size=(2, 24))
+    trace = (
+        np.sin(2 * np.pi * t)[:, None] * shapes[0]
+        + 0.3 * np.cos(6 * np.pi * t)[:, None] * shapes[1]
+        + 0.5
+    )
+    mu, basis = modal_basis(trace, 2)
+    rec = from_modal(to_modal(trace, mu, basis), mu, basis)
+    assert np.allclose(rec, trace, atol=1e-10)
+
+
 def test_pred_anchor_fixed_point():
     """pred_anchor's exchanged-step de-bias is a no-op on exact
     predictions: anchor = the true next shared row, so delta == 0 and the
