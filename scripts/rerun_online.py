@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--modal", type=int, default=0,
                     help="train surrogates on k PCA mode coefficients "
                          "(modal_dim; retrains stage 3)")
+    ap.add_argument("--rollout", type=int, default=0,
+                    help="rollout_windows for training (retrains stage 3)")
     ap.add_argument("--compensated", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -76,6 +78,9 @@ def main():
     retrain = False
     if args.modal:
         cfg.surrogate.modal_dim = args.modal
+        retrain = True
+    if args.rollout:
+        cfg.surrogate.rollout_windows = args.rollout
         retrain = True
     if args.filter_size:
         cfg.surrogate.filter_size = args.filter_size
@@ -108,6 +113,7 @@ def main():
         "smooth": args.smooth,
         "anchor": args.anchor,
         "modal_dim": args.modal,
+        "rollout_windows": args.rollout,
         "resync_blocks": args.resync,
         "filter_size": cfg.surrogate.filter_size,
         "n_past": cfg.surrogate.n_past,
@@ -124,6 +130,8 @@ def main():
         tag += "_anchor"
     if args.modal:
         tag += f"_modal{args.modal}"
+    if args.rollout:
+        tag += f"_W{args.rollout}"
     if args.resync:
         tag += f"_rs{args.resync}"
     if args.filter_size:
