@@ -137,11 +137,27 @@ CASES = [
 QUICK = [(25, 1, 1, 2, "dense", 5000), (48, 4, 4, 8, "ell", 2000)]
 
 
+def _case_tag(case):
+    mesh = ("ref_beam_256" if case[0] == "ref"
+            else f"{case[0]}x{case[1]}x{case[2]}")
+    exch = case[6] if len(case) > 6 else "psum"
+    comp = bool(case[7]) if len(case) > 7 else False
+    return (mesh, case[3], case[4], exch, comp)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter on 'mesh/parts/mode'; matching "
+                         "cases are re-run and MERGED into results.json "
+                         "(other rows kept)")
     args = ap.parse_args()
     cases = QUICK if args.quick else CASES
+    if args.only:
+        cases = [c for c in CASES
+                 if args.only in "{}/{}/{}".format(*_case_tag(c)[:3])]
+        print(f"[sweep] --only '{args.only}': {len(cases)} case(s)")
 
     results = []
     for case in cases:
@@ -156,13 +172,32 @@ def main():
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    res_path = Path(__file__).parent / "results.json"
+    if args.only and res_path.exists():
+        # merge: replace rows with the same identity, keep the rest
+        def _row_tag(r):
+            return (r.get("mesh"), r.get("n_parts"), r.get("fint_mode"),
+                    r.get("exchange_mode", "psum"),
+                    r.get("compensated", False))
+
+        old = json.loads(res_path.read_text())["results"]
+        new_tags = {_row_tag(r) for r in results}
+        merged, inserted = [], False
+        for r in old:
+            if _row_tag(r) in new_tags:
+                if not inserted:
+                    merged.extend(results)
+                    inserted = True
+            else:
+                merged.append(r)
+        if not inserted:
+            merged.extend(results)
+        results = merged
     out = {
         "device": str(jax.devices()[0]),
         "results": results,
     }
-    Path(__file__).parent.joinpath("results.json").write_text(
-        json.dumps(out, indent=2)
-    )
+    res_path.write_text(json.dumps(out, indent=2))
 
     print("\n| mesh | E | parts | mode | avoid steps/s | Melem/s | vs exchanged |")
     print("|---|---|---|---|---|---|---|")

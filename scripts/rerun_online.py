@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--n-past", type=int, default=None)
     ap.add_argument("--n-future", type=int, default=None)
     ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override surrogate.num_epochs (retrains stage 3)")
     ap.add_argument("--epoch-chunk", type=int, default=None,
                     help="epochs per training dispatch (lower for large "
                          "window counts; remote watchdog)")
@@ -94,6 +96,9 @@ def main():
     if args.hidden:
         cfg.surrogate.hidden_size = args.hidden
         retrain = True
+    if args.epochs:
+        cfg.surrogate.num_epochs = args.epochs
+        retrain = True
     if args.epoch_chunk:
         cfg.surrogate.epoch_chunk = args.epoch_chunk
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
@@ -118,6 +123,7 @@ def main():
         "filter_size": cfg.surrogate.filter_size,
         "n_past": cfg.surrogate.n_past,
         "hidden": cfg.surrogate.hidden_size,
+        "epochs": cfg.surrogate.num_epochs,
         "consensus": not args.no_consensus,
         "online_seconds": round(t_online, 1),
         "global_rel_l2": round(metrics.get("global_rel_l2_nonshared", -1), 5),
@@ -140,6 +146,8 @@ def main():
         tag += f"_np{args.n_past}"
     if args.hidden:
         tag += f"_h{args.hidden}"
+    if args.epochs:
+        tag += f"_e{args.epochs}"
     (out / f"online_{tag}.json").write_text(json.dumps(summary, indent=2))
 
 
