@@ -185,6 +185,21 @@ class SurrogateConfig:
                         # reconstructed as mu + coef @ basis — orthogonal
                         # error is zero BY CONSTRUCTION. 0 = off
                         # (reference behavior).
+    arch: str = "lstm"  # surrogate architecture: "lstm" (the reference's
+                        # encoder-decoder, DNN_tools.py:85-98) | "linear"
+                        # (savtpu extension: one ridge-regression affine
+                        # map flat(n_past window) -> flat(n_future window),
+                        # fit in closed form on host — no epochs. The
+                        # underlying dynamics are LINEAR elastodynamics,
+                        # so on the coarse sampling grid the truth window
+                        # map is near-affine; the LSTM's advantage is
+                        # representational flexibility it doesn't need
+                        # here, and its cost is slow in-band drift
+                        # (runs/scale_96/pred_spectrum.json). Pairs
+                        # naturally with modal_dim.)
+    ridge_lambda: float = 1e-6  # Tikhonov strength for arch="linear",
+                                # relative to mean(diag(X^T X)); the fit
+                                # is ~insensitive over 1e-4..1e-8.
     pred_anchor: bool = False  # savtpu extension: per-block exchanged
                                # anchoring. At each block start, ONE
                                # exchanged step from the current state

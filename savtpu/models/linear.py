@@ -1,0 +1,148 @@
+"""Linear (ridge-regression) surrogate: flat-window affine map.
+
+The reference's surrogate is an LSTM encoder-decoder
+(Tools/DNN_tools.py:85-98) because its authors wanted a generic sequence
+model. But the plant is LINEAR elastodynamics: on the coarse sampling
+grid the map {n_past window} -> {n_future window} of the true shared-DOF
+trace is near-affine (exactly affine for free LTI response; the ramped
+load adds a mild time dependence the fit averages over). ``arch =
+"linear"`` (SurrogateConfig.arch) replaces the LSTM with one ridge map
+
+    y = flat(X) @ W + b,     W: (n_past*D, n_future*D)
+
+fit in CLOSED FORM on the host — no epochs, no optimizer — and applied
+online as a single matmul per phase-interleaved batch (MXU-friendly:
+(150, n_past*D) @ (n_past*D, n_future*D)).
+
+The params pytree is ``{"lin": {"W": ..., "b": ...}}``;
+``models.lstm.seq2seq_predict`` dispatches on the "lin" key, so every
+downstream consumer (phase_interleaved_predict{,_stacked}, the fused
+block-group runner, chained_predict) works unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_linear(n_past: int, n_future: int, D: int, dtype=jnp.float32):
+    """Zero-parameter template (used to deserialize saved models)."""
+    return {
+        "lin": {
+            "W": jnp.zeros((n_past * D, n_future * D), dtype),
+            "b": jnp.zeros((n_future * D,), dtype),
+        }
+    }
+
+
+def linear_predict(params, x, n_future: int, feat_mask=None):
+    """(B, n_past, D) scaled windows -> (B, n_future, D) scaled preds.
+
+    Direct multi-horizon regression — no recursion, so no feedback error
+    accumulation inside the window. ``feat_mask`` zeroes padded feature
+    dims of BOTH input and output (the stacked-training convention of
+    seq2seq_predict)."""
+    lin = params["lin"]
+    B, n_past, D = x.shape
+    if feat_mask is not None:
+        x = x * feat_mask
+    y = x.reshape(B, n_past * D) @ lin["W"] + lin["b"]
+    y = y.reshape(B, n_future, D)
+    if feat_mask is not None:
+        y = y * feat_mask
+    return y
+
+
+def fit_linear_arrays(
+    X: np.ndarray,          # (G, n_past, D) SCALED training windows
+    Y: np.ndarray,          # (G, n_future, D) scaled targets
+    lam_rel: float,
+    feat_mask: np.ndarray | None = None,   # (D,) 0/1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed-form ridge fit in float64; returns (W, b).
+
+    Features and targets are centered so the Tikhonov penalty never
+    shrinks the mean; the bias is recovered exactly. ``lam_rel`` scales
+    the penalty by the mean feature energy, making it dimensionless.
+    Masked (padded) feature dims are zeroed first, which with centering
+    forces their W rows/columns to 0 and pushes their constant level into
+    b."""
+    G = X.shape[0]
+    Xf = np.asarray(X, np.float64).reshape(G, -1)
+    Yf = np.asarray(Y, np.float64).reshape(G, -1)
+    if feat_mask is not None:
+        fm = np.asarray(feat_mask, np.float64)
+        Xf = Xf * np.tile(fm, X.shape[1])
+        Yf = Yf * np.tile(fm, Y.shape[1])
+    xm = Xf.mean(axis=0)
+    ym = Yf.mean(axis=0)
+    Xc = Xf - xm
+    Yc = Yf - ym
+    A = Xc.T @ Xc
+    n = A.shape[0]
+    lam = lam_rel * max(np.trace(A) / n, 1e-300)
+    W = np.linalg.solve(A + lam * np.eye(n), Xc.T @ Yc)
+    b = ym - xm @ W
+    return W, b
+
+
+def _metrics(out, truth, feat_mask=None) -> Tuple[float, float, float]:
+    """(loss, r2, rel) with masked_metrics/batch_metrics semantics
+    (models/training.py)."""
+    out = np.asarray(out, np.float64)
+    truth = np.asarray(truth, np.float64)
+    if feat_mask is None:
+        loss = np.mean((out - truth) ** 2)
+        var = np.mean((truth - truth.mean()) ** 2)
+        ms = np.mean(truth**2)
+    else:
+        fm = np.asarray(feat_mask, np.float64)
+        denom = out.shape[0] * out.shape[1] * fm.sum()
+        d = (out - truth) * fm
+        loss = (d * d).sum() / denom
+        tmean = (truth * fm).sum() / denom
+        var = (((truth - tmean) * fm) ** 2).sum() / denom
+        ms = ((truth * fm) ** 2).sum() / denom
+    return float(loss), float(1.0 - loss / var), float(1.0 - loss / ms)
+
+
+def fit_linear(
+    cfg,
+    X_train, Y_train,
+    X_val=None, Y_val=None,
+    feat_mask=None,
+    dtype=None,
+) -> Tuple[Dict, Dict]:
+    """fit()-compatible entry: returns (params, history) with the same
+    history keys as the LSTM trainer (one 'epoch' — the exact solve)."""
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    n_future = Y_train.shape[1]
+    D = X_train.shape[-1]
+    W, b = fit_linear_arrays(
+        X_train, Y_train, cfg.ridge_lambda, feat_mask=feat_mask
+    )
+    params = {
+        "lin": {"W": jnp.asarray(W, dtype), "b": jnp.asarray(b, dtype)}
+    }
+    G = X_train.shape[0]
+    out_tr = (
+        np.asarray(X_train, np.float64).reshape(G, -1) @ W + b
+    ).reshape(G, n_future, D)
+    tl, tr2, trel = _metrics(out_tr, Y_train, feat_mask)
+    hist = {
+        "train_loss": [tl], "train_r2": [tr2], "train_rel": [trel],
+        "val_loss": [], "val_r2": [], "val_rel": [],
+    }
+    if X_val is not None and len(X_val) > 0:
+        Gv = X_val.shape[0]
+        out_va = (
+            np.asarray(X_val, np.float64).reshape(Gv, -1) @ W + b
+        ).reshape(Gv, n_future, D)
+        vl, vr2, vrel = _metrics(out_va, Y_val, feat_mask)
+        hist["val_loss"], hist["val_r2"], hist["val_rel"] = (
+            [vl], [vr2], [vrel]
+        )
+    return params, hist

@@ -146,7 +146,16 @@ def seq2seq_predict(params, x, n_future: int, feat_mask=None):
     ``feat_mask`` (input,) 0/1 supports ragged input sizes under stacked
     multi-shard training: masked (padded) feature dims are zeroed before
     each recursive feed-back, so they can never leak into the decoder
-    state and the padded model is exactly the unpadded one."""
+    state and the padded model is exactly the unpadded one.
+
+    Dispatches on the params pytree: a ``{"lin": ...}`` tree is the
+    ridge-map surrogate (SurrogateConfig.arch = "linear",
+    models/linear.py) — same (B, n_past, D) -> (B, n_future, D)
+    contract, so every caller works with either architecture."""
+    if isinstance(params, dict) and "lin" in params:
+        from .linear import linear_predict
+
+        return linear_predict(params, x, n_future, feat_mask=feat_mask)
     hn, cn = encoder_forward(params, x)
     x_last = x[:, -1, :]
 

@@ -21,6 +21,12 @@ axis via dot_general instead of materializing a transpose.
 Scope: comm-free stepping without NN-overwrite or trace recording — the
 sync-avoiding benchmark mode (record='none'). The dense kernel keeps the
 preds/record duties at sizes where it fits.
+
+Parts are INDEPENDENT in comm-free mode, so the kernel grids over the
+part axis: each grid program time-steps one part with only that part's
+band resident (2*nc*Bk^2*itemsize — 14.8 MB at 96x8x8/8), instead of
+pinning all P parts at once (118 MB, which busted the VMEM budget and
+silently fell back to the HBM-streaming lax.scan path).
 """
 
 from __future__ import annotations
@@ -40,21 +46,23 @@ def _interpret() -> bool:
 
 
 def banded_scan_vmem_bytes(P, nc, Bk, itemsize) -> int:
-    """Resident set: band blocks + state/coefficient vectors."""
-    return itemsize * (2 * P * nc * Bk * Bk + 10 * P * nc * Bk)
+    """Per-grid-program resident set: ONE part's band blocks +
+    state/coefficient vectors (the kernel grids over parts)."""
+    del P
+    return itemsize * (2 * nc * Bk * Bk + 10 * nc * Bk)
 
 
 def _kernel(
     scal_ref,   # SMEM (4,): t0, dt, alpha, ramped
-    Kd_ref,     # VMEM (P, nc, Bk, Bk) diagonal blocks (resident)
-    Kl_ref,     # VMEM (P, nc, Bk, Bk) sub-diagonal blocks (resident)
-    d0_ref,     # VMEM (P, DLB)
-    dn_ref,     # VMEM (P, DLB)
-    Fp_ref,     # VMEM (P, DLB)
-    lM_ref,     # VMEM (P, DLB)
-    bc_ref,     # VMEM (P, DLB)
-    d0_out,     # VMEM (P, DLB)
-    dn_out,     # VMEM (P, DLB)
+    Kd_ref,     # VMEM (1, nc, Bk, Bk) this part's diagonal blocks
+    Kl_ref,     # VMEM (1, nc, Bk, Bk) this part's sub-diagonal blocks
+    d0_ref,     # VMEM (1, 1, DLB)  (the unit axis satisfies the TPU
+    dn_ref,     # VMEM (1, 1, DLB)   block-shape tiling rule: last two
+    Fp_ref,     # VMEM (1, 1, DLB)   block dims must divide (8, 128) or
+    lM_ref,     # VMEM (1, 1, DLB)   equal the array dims)
+    bc_ref,     # VMEM (1, 1, DLB)
+    d0_out,     # VMEM (1, 1, DLB)
+    dn_out,     # VMEM (1, 1, DLB)
     *,
     num_steps: int,
     n_parts: int,
@@ -65,9 +73,9 @@ def _kernel(
     dt = scal_ref[1]
     alpha = scal_ref[2]
     ramped = scal_ref[3]
-    Fp = Fp_ref[:, :]
-    lM = lM_ref[:, :]
-    bc = bc_ref[:, :]
+    Fp = Fp_ref[:, 0, :]
+    lM = lM_ref[:, 0, :]
+    bc = bc_ref[:, 0, :]
     denom = lM + 0.5 * alpha * dt * lM
     # contract x (1, Bk) with Kl's SECOND axis: x . Kl^T without relayout
     dn_t = (((1,), (1,)), ((), ()))
@@ -112,10 +120,10 @@ def _kernel(
         return (d1 * bc, d0)
 
     d0, dn = jax.lax.fori_loop(
-        0, num_steps, body, (d0_ref[:, :], dn_ref[:, :])
+        0, num_steps, body, (d0_ref[:, 0, :], dn_ref[:, 0, :])
     )
-    d0_out[:, :] = d0
-    dn_out[:, :] = dn
+    d0_out[:, 0, :] = d0
+    dn_out[:, 0, :] = dn
 
 
 @functools.partial(
@@ -146,21 +154,23 @@ def pallas_scan_comm_free_banded(
 
     def fit(v, fill):
         out = jnp.full((P, DLB), fill, dtype)
-        return out.at[:, :n].set(v[:, :n].astype(dtype))
+        return out.at[:, :n].set(v[:, :n].astype(dtype))[:, None, :]
 
     scal = jnp.asarray([t0, dt, alpha, 1.0 if ramped else 0.0], dtype)
     kern = functools.partial(
-        _kernel, num_steps=num_steps, n_parts=P, nc=nc, Bk=Bk
+        _kernel, num_steps=num_steps, n_parts=1, nc=nc, Bk=Bk
     )
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    band = pl.BlockSpec((1, nc, Bk, Bk), lambda p: (p, 0, 0, 0))
+    vec = lambda: pl.BlockSpec((1, 1, DLB), lambda p: (p, 0, 0))
     d0f, dnf = pl.pallas_call(
         kern,
+        grid=(P,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [full()] * 7,
-        out_specs=(full(), full()),
+        + [band, band] + [vec() for _ in range(5)],
+        out_specs=(vec(), vec()),
         out_shape=(
-            jax.ShapeDtypeStruct((P, DLB), dtype),
-            jax.ShapeDtypeStruct((P, DLB), dtype),
+            jax.ShapeDtypeStruct((P, 1, DLB), dtype),
+            jax.ShapeDtypeStruct((P, 1, DLB), dtype),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * P * num_steps * (3 * nc - 2) * Bk * Bk,
@@ -180,7 +190,7 @@ def pallas_scan_comm_free_banded(
 
     def unfit(v):
         out = jnp.zeros((P, DL), dtype)
-        return out.at[:, :n].set(v[:, :n])
+        return out.at[:, :n].set(v[:, 0, :n])
 
     t_final = jnp.asarray(t0, dtype) + num_steps * jnp.asarray(dt, dtype)
     return unfit(d0f), unfit(dnf), t_final

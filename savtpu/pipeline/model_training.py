@@ -86,6 +86,7 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
             params,
             meta={
                 **modal_meta,
+                "arch": sur.arch,
                 "input_size": int(input_size),
                 "hidden_size": sur.hidden_size,
                 "num_layers_encoder": sur.num_layers_encoder,
@@ -253,6 +254,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
             params_r,
             meta={
                 **modal_meta,
+                "arch": sur.arch,
                 "input_size": int(Dmax),
                 "real_input_size": int(dims[r]),
                 "padded_input": True,

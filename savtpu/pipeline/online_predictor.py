@@ -53,14 +53,22 @@ def load_rank_models(ctx: StageContext):
                 f"(savtpu.pipeline.model_training) first"
             )
         meta = load_params_meta(ctx.store.model_file(r))
-        template = init_seq2seq(
-            jax.random.PRNGKey(0),
-            meta["input_size"],
-            meta["hidden_size"],
-            meta["num_layers_encoder"],
-            meta["bidirectional"],
-            dtype=jnp.dtype(sur.dtype),
-        )
+        if meta.get("arch", "lstm") == "linear":
+            from ..models.linear import init_linear
+
+            template = init_linear(
+                meta["n_past"], meta["n_future"], meta["input_size"],
+                dtype=jnp.dtype(sur.dtype),
+            )
+        else:
+            template = init_seq2seq(
+                jax.random.PRNGKey(0),
+                meta["input_size"],
+                meta["hidden_size"],
+                meta["num_layers_encoder"],
+                meta["bidirectional"],
+                dtype=jnp.dtype(sur.dtype),
+            )
         params = load_params(ctx.store.model_file(r), template)
 
         # recompute the scaling constants from the stored trace, like the

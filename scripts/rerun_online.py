@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--modal", type=int, default=0,
                     help="train surrogates on k PCA mode coefficients "
                          "(modal_dim; retrains stage 3)")
+    ap.add_argument("--arch", type=str, default=None,
+                    choices=("lstm", "linear"),
+                    help="surrogate architecture (retrains stage 3)")
+    ap.add_argument("--ridge", type=float, default=None,
+                    help="ridge_lambda for --arch linear")
     ap.add_argument("--rollout", type=int, default=0,
                     help="rollout_windows for training (retrains stage 3)")
     ap.add_argument("--compensated", action="store_true", default=True)
@@ -80,6 +85,12 @@ def main():
     retrain = False
     if args.modal:
         cfg.surrogate.modal_dim = args.modal
+        retrain = True
+    if args.arch:
+        cfg.surrogate.arch = args.arch
+        retrain = True
+    if args.ridge is not None:
+        cfg.surrogate.ridge_lambda = args.ridge
         retrain = True
     if args.rollout:
         cfg.surrogate.rollout_windows = args.rollout
@@ -117,6 +128,8 @@ def main():
     summary = {
         "smooth": args.smooth,
         "anchor": args.anchor,
+        "arch": cfg.surrogate.arch,
+        "ridge_lambda": cfg.surrogate.ridge_lambda,
         "modal_dim": args.modal,
         "rollout_windows": args.rollout,
         "resync_blocks": args.resync,
@@ -134,6 +147,10 @@ def main():
     tag = f"smooth{args.smooth}" + ("_nc" if args.no_consensus else "")
     if args.anchor:
         tag += "_anchor"
+    if args.arch:
+        tag += f"_{args.arch}"
+    if args.ridge is not None:
+        tag += f"_l{args.ridge:g}"
     if args.modal:
         tag += f"_modal{args.modal}"
     if args.rollout:
