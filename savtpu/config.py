@@ -200,6 +200,22 @@ class SurrogateConfig:
     ridge_lambda: float = 1e-6  # Tikhonov strength for arch="linear",
                                 # relative to mean(diag(X^T X)); the fit
                                 # is ~insensitive over 1e-4..1e-8.
+    linear_rho_max: float = 0.999  # arch="linear" closed-loop stability
+                                   # guard: clip eigenvalue magnitudes of
+                                   # the square window map to this radius
+                                   # (models/linear.py:stabilize_spectrum).
+                                   # 0 disables.
+    window_phases: int = 1  # savtpu extension: build training windows
+                            # from this many coarse-grid phase offsets
+                            # (clamped to the stored-trace stride). The
+                            # reference trains on the single phase-0
+                            # subsample data[::n_s] (DNN_tools.py:291),
+                            # leaving (n_s-1)/n_s of the recorded rows
+                            # unused; >1 multiplies the window count for
+                            # sample-hungry fits (arch="linear").
+                            # Scaling constants always come from phase 0
+                            # (the reference contract the online stage
+                            # cross-checks).
     pred_anchor: bool = False  # savtpu extension: per-block exchanged
                                # anchoring. At each block start, ONE
                                # exchanged step from the current state

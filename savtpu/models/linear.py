@@ -89,6 +89,31 @@ def fit_linear_arrays(
     return W, b
 
 
+def stabilize_spectrum(
+    W: np.ndarray, rho_max: float
+) -> Tuple[np.ndarray, float]:
+    """Clip the eigenvalue magnitudes of the SQUARE window map to
+    ``rho_max``.
+
+    With n_past == n_future the online block recursion is exactly
+    x_{b+1} = x_b @ W per phase offset (the predicted block becomes the
+    next history window), so closed-loop stability is rho(W) <= 1. The
+    true damped dynamics satisfies this, but a least-squares fit that
+    sees the growing load-ramp era can come out expansive — measured:
+    rho barely above 1 diverges the 33-block online loop while every
+    one-window metric looks fine. Clipping only the expansive
+    eigenvalues leaves the (physical, contractive) spectrum untouched.
+    Returns (W_stable, rho_before)."""
+    lam, V = np.linalg.eig(W)
+    mag = np.abs(lam)
+    rho = float(mag.max())
+    if rho <= rho_max:
+        return W, rho
+    lam = lam * np.minimum(1.0, rho_max / np.maximum(mag, 1e-300))
+    W2 = np.real(V @ np.diag(lam) @ np.linalg.inv(V))
+    return W2, rho
+
+
 def _metrics(out, truth, feat_mask=None) -> Tuple[float, float, float]:
     """(loss, r2, rel) with masked_metrics/batch_metrics semantics
     (models/training.py)."""
@@ -124,6 +149,9 @@ def fit_linear(
     W, b = fit_linear_arrays(
         X_train, Y_train, cfg.ridge_lambda, feat_mask=feat_mask
     )
+    rho_max = float(getattr(cfg, "linear_rho_max", 0.0) or 0.0)
+    if rho_max > 0 and W.shape[0] == W.shape[1]:
+        W, _ = stabilize_spectrum(W, rho_max)
     params = {
         "lin": {"W": jnp.asarray(W, dtype), "b": jnp.asarray(b, dtype)}
     }

@@ -37,6 +37,32 @@ def effective_filter(cfg: Config) -> int:
     return max(n_s // se, 1)
 
 
+def _phase_windows(trace, sur, eff_filter):
+    """Training windows, optionally augmented over coarse-grid phase
+    offsets (SurrogateConfig.window_phases). Phase 0 comes first so
+    callers can derive the scaling constants from the reference's
+    single-phase windows."""
+    from ..models import strided_windows
+
+    X, Y = strided_windows(
+        trace, sur.n_past, sur.n_future * sur.rollout_windows,
+        eff_filter, sur.cut_off,
+    )
+    phases = min(max(int(getattr(sur, "window_phases", 1) or 1), 1),
+                 eff_filter)
+    if phases <= 1:
+        return X, Y, X, Y
+    Xa, Ya = [X], [Y]
+    for p in range(1, phases):
+        Xp, Yp = strided_windows(
+            trace[p:], sur.n_past, sur.n_future * sur.rollout_windows,
+            eff_filter, sur.cut_off,
+        )
+        Xa.append(Xp)
+        Ya.append(Yp)
+    return np.concatenate(Xa), np.concatenate(Ya), X, Y
+
+
 def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     sur = cfg.surrogate
@@ -62,11 +88,10 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
             }
             trace = to_modal(trace, mu, basis)
         input_size = trace.shape[1]
-        X, Y = strided_windows(
-            trace, sur.n_past, sur.n_future * sur.rollout_windows,
-            eff_filter, sur.cut_off,
-        )
-        X, Y, smax, smin = scale_to_zero_one(X, Y, mode=sur.scale_mode)
+        X, Y, X0, Y0 = _phase_windows(trace, sur, eff_filter)
+        _, _, smax, smin = scale_to_zero_one(X0, Y0, mode=sur.scale_mode)
+        X = np.asarray((X - smax) / (smax - smin))
+        Y = np.asarray((Y - smax) / (smax - smin))
         rng = np.random.default_rng(sur.seed + 17 * r)
         tr, va = train_val_split(len(X), sur.train_portion, rng)
         if verbose:
@@ -87,6 +112,7 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
             meta={
                 **modal_meta,
                 "arch": sur.arch,
+                "window_phases": int(getattr(sur, "window_phases", 1) or 1),
                 "input_size": int(input_size),
                 "hidden_size": sur.hidden_size,
                 "num_layers_encoder": sur.num_layers_encoder,
@@ -179,11 +205,8 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
     per_feature = sur.scale_mode == "per_feature"
     Xs, Ys, smaxs, smins = [], [], [], []
     for tr in traces:
-        X, Y = strided_windows(
-            tr, sur.n_past, sur.n_future * sur.rollout_windows,
-            eff_filter, sur.cut_off,
-        )
-        _, _, smax, smin = scale_to_zero_one(X, Y, mode=sur.scale_mode)
+        X, Y, X0, Y0 = _phase_windows(tr, sur, eff_filter)
+        _, _, smax, smin = scale_to_zero_one(X0, Y0, mode=sur.scale_mode)
         if per_feature:
             # pad to (Dmax,) with (0, -1): raw-zero pad dims stay 0 scaled
             fmax = np.zeros(Dmax)
@@ -255,6 +278,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
             meta={
                 **modal_meta,
                 "arch": sur.arch,
+                "window_phases": int(getattr(sur, "window_phases", 1) or 1),
                 "input_size": int(Dmax),
                 "real_input_size": int(dims[r]),
                 "padded_input": True,

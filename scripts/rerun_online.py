@@ -57,6 +57,9 @@ def main():
                     help="surrogate architecture (retrains stage 3)")
     ap.add_argument("--ridge", type=float, default=None,
                     help="ridge_lambda for --arch linear")
+    ap.add_argument("--phases", type=int, default=None,
+                    help="window_phases: training windows from this many "
+                         "coarse-grid phase offsets (retrains stage 3)")
     ap.add_argument("--rollout", type=int, default=0,
                     help="rollout_windows for training (retrains stage 3)")
     ap.add_argument("--compensated", action="store_true", default=True)
@@ -91,6 +94,9 @@ def main():
         retrain = True
     if args.ridge is not None:
         cfg.surrogate.ridge_lambda = args.ridge
+        retrain = True
+    if args.phases:
+        cfg.surrogate.window_phases = args.phases
         retrain = True
     if args.rollout:
         cfg.surrogate.rollout_windows = args.rollout
@@ -151,6 +157,8 @@ def main():
         tag += f"_{args.arch}"
     if args.ridge is not None:
         tag += f"_l{args.ridge:g}"
+    if args.phases:
+        tag += f"_ph{args.phases}"
     if args.modal:
         tag += f"_modal{args.modal}"
     if args.rollout:
