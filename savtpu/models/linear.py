@@ -114,6 +114,49 @@ def stabilize_spectrum(
     return W2, rho
 
 
+def closed_loop_rel(
+    W: np.ndarray,
+    b: np.ndarray,
+    seq: np.ndarray,        # (Tc, D) SCALED coarse-grid sequence
+    n_past: int,
+    n_future: int,
+) -> float:
+    """Autoregressive replay error of the window map on one coarse
+    sequence: start from the first n_past rows, repeatedly predict the
+    next n_future and feed the prediction back (exactly the online
+    stage-4 recursion per phase offset), and compare the whole rollout
+    against the true continuation. Returns rel-L2; divergence maps to
+    inf.
+
+    This is the metric the one-window train/val losses cannot see: a
+    fit map with slightly expansive *non-normal* structure scores
+    perfectly per-window yet blows up the 33-block deployed loop
+    (measured: ridge=1e-6 on 96x8x8/16 -> val rel ~1e-3 but online
+    rel-L2 = 1e10, even with the spectral radius clipped to 0.999 —
+    transient growth of a non-normal map is not controlled by its
+    eigenvalues)."""
+    Tc, D = seq.shape
+    n_blocks = (Tc - n_past) // n_future
+    if n_blocks < 1:
+        return float("inf")
+    hist = seq[:n_past].astype(np.float64).copy()
+    err2 = 0.0
+    den2 = 0.0
+    t = n_past
+    for _ in range(n_blocks):
+        y = (hist.reshape(1, -1) @ W + b).reshape(n_future, D)
+        if not np.all(np.isfinite(y)):
+            return float("inf")
+        truth = seq[t : t + n_future]
+        err2 += float(((y - truth) ** 2).sum())
+        den2 += float((truth**2).sum())
+        hist = np.concatenate([hist, y])[-n_past:]
+        t += n_future
+    if not np.isfinite(err2):
+        return float("inf")
+    return float(np.sqrt(err2 / max(den2, 1e-300)))
+
+
 def _metrics(out, truth, feat_mask=None) -> Tuple[float, float, float]:
     """(loss, r2, rel) with masked_metrics/batch_metrics semantics
     (models/training.py)."""
@@ -140,18 +183,53 @@ def fit_linear(
     X_val=None, Y_val=None,
     feat_mask=None,
     dtype=None,
+    seqs=None,
 ) -> Tuple[Dict, Dict]:
     """fit()-compatible entry: returns (params, history) with the same
-    history keys as the LSTM trainer (one 'epoch' — the exact solve)."""
+    history keys as the LSTM trainer (one 'epoch' — the exact solve).
+
+    ``seqs`` (optional): list of SCALED coarse-grid sequences (Tc, D)
+    from the training portion of the trace — one per phase offset. When
+    given, the fit becomes a ridge LADDER with closed-loop model
+    selection: each candidate lambda is fit, the deployed stability
+    guard applied, and the candidate scored by ``closed_loop_rel``
+    autoregressive replay on those sequences; the best (finite,
+    smallest) replay error wins. The ladder always contains
+    ``cfg.ridge_lambda`` so an explicit setting stays reachable."""
     dtype = jnp.dtype(dtype or cfg.dtype)
     n_future = Y_train.shape[1]
     D = X_train.shape[-1]
-    W, b = fit_linear_arrays(
-        X_train, Y_train, cfg.ridge_lambda, feat_mask=feat_mask
-    )
     rho_max = float(getattr(cfg, "linear_rho_max", 0.0) or 0.0)
-    if rho_max > 0 and W.shape[0] == W.shape[1]:
-        W, _ = stabilize_spectrum(W, rho_max)
+
+    def fit_one(lam):
+        W, b = fit_linear_arrays(X_train, Y_train, lam, feat_mask=feat_mask)
+        if rho_max > 0 and W.shape[0] == W.shape[1]:
+            W, _ = stabilize_spectrum(W, rho_max)
+        return W, b
+
+    chosen_lam = float(cfg.ridge_lambda)
+    if seqs:
+        # descending: if every candidate diverges (all-inf tie), the
+        # strongest regularization — the least-wrong map — is kept
+        ladder = sorted(
+            {float(cfg.ridge_lambda), 1e-6, 1e-4, 1e-2, 1e-1, 1.0},
+            reverse=True,
+        )
+        best = None
+        for lam in ladder:
+            W_c, b_c = fit_one(lam)
+            score = float(
+                np.sqrt(np.mean([
+                    closed_loop_rel(W_c, b_c, s, X_train.shape[1], n_future)
+                    ** 2
+                    for s in seqs
+                ]))
+            )
+            if best is None or score < best[0]:
+                best = (score, lam, W_c, b_c)
+        _, chosen_lam, W, b = best
+    else:
+        W, b = fit_one(chosen_lam)
     params = {
         "lin": {"W": jnp.asarray(W, dtype), "b": jnp.asarray(b, dtype)}
     }
@@ -163,6 +241,7 @@ def fit_linear(
     hist = {
         "train_loss": [tl], "train_r2": [tr2], "train_rel": [trel],
         "val_loss": [], "val_r2": [], "val_rel": [],
+        "ridge_lambda": chosen_lam,
     }
     if X_val is not None and len(X_val) > 0:
         Gv = X_val.shape[0]

@@ -156,6 +156,7 @@ def fit(
     params=None,
     log_every: int = 50,
     log_fn=print,
+    seqs=None,
 ) -> Tuple[Dict, Dict[str, List[float]]]:
     """Train a seq2seq surrogate; returns (params, history dict).
 
@@ -180,6 +181,7 @@ def fit(
             cfg, np.asarray(X_train), np.asarray(Y_train),
             None if X_val is None else np.asarray(X_val),
             None if Y_val is None else np.asarray(Y_val),
+            seqs=seqs,
         )
     dtype = jnp.dtype(cfg.dtype)
     X = jnp.asarray(X_train, dtype=dtype)
@@ -369,11 +371,15 @@ def fit_stacked(
     mesh=None,    # optional jax Mesh: shard the model axis over devices
     log_every: int = 50,
     log_fn=print,
+    seqs=None,    # per-rank lists of scaled coarse sequences (linear
+                  # arch closed-loop ridge selection; see fit_linear)
 ):
     """Train P independent surrogates simultaneously. Returns
     (stacked_params, hist) where hist arrays have shape (epochs, P)."""
     if getattr(cfg, "arch", "lstm") == "linear":
-        return _fit_stacked_linear(cfg, X, Y, feat_mask, log_fn=log_fn)
+        return _fit_stacked_linear(
+            cfg, X, Y, feat_mask, log_fn=log_fn, seqs=seqs
+        )
     dtype = jnp.dtype(cfg.dtype)
     X = jnp.asarray(X, dtype=dtype)
     Y = jnp.asarray(Y, dtype=dtype)
@@ -553,7 +559,7 @@ def fit_stacked(
     return params, hist
 
 
-def _fit_stacked_linear(cfg, X, Y, feat_mask, log_fn=print):
+def _fit_stacked_linear(cfg, X, Y, feat_mask, log_fn=print, seqs=None):
     """Stacked ridge surrogates: P independent closed-form solves on
     host (each is a ~(n_past*D)^2 normal-equation solve — no device
     round trip is worth it), stacked into the same leading-axis params
@@ -568,14 +574,16 @@ def _fit_stacked_linear(cfg, X, Y, feat_mask, log_fn=print):
     Pn, G = X.shape[0], X.shape[1]
     n_train = max(int(cfg.train_portion * G), 1)
     rng = np.random.default_rng(cfg.seed + 1)
-    params_l, tl, vl = [], [], []
+    params_l, tl, vl, lams = [], [], [], []
     for r in range(Pn):
         tr = rng.choice(G, size=n_train, replace=False)
         va = np.setdiff1d(np.arange(G), tr)
         p_r, h_r = fit_linear(
             cfg, X[r][tr], Y[r][tr], X[r][va], Y[r][va],
             feat_mask=np.asarray(feat_mask[r]),
+            seqs=None if seqs is None else seqs[r],
         )
+        lams.append(h_r.get("ridge_lambda", cfg.ridge_lambda))
         params_l.append(p_r)
         tl.append([h_r["train_loss"][0], h_r["train_r2"][0],
                    h_r["train_rel"][0]])
@@ -590,5 +598,7 @@ def _fit_stacked_linear(cfg, X, Y, feat_mask, log_fn=print):
         hist[f"val_{k}"] = vl[:, :, j]
     log_fn(
         f"ridge fit: train mse {tl[0, :, 0]} | val mse {vl[0, :, 0]}"
+        + (f" | lambda {lams}" if seqs is not None else "")
     )
+    hist["ridge_lambda"] = np.asarray(lams, np.float64)[None]  # (1, P)
     return params, hist

@@ -63,6 +63,17 @@ def _phase_windows(trace, sur, eff_filter):
     return np.concatenate(Xa), np.concatenate(Ya), X, Y
 
 
+def _cl_seqs(trace, smax, smin, sur, eff_filter, n_phases=3):
+    """Scaled coarse-grid sequences of the TRAINING portion (the same
+    trace[:cut_off][::eff_filter] grid strided_windows trains on), for
+    the linear arch's closed-loop ridge selection (models/linear.py:
+    fit_linear). A few phase offsets guard against a single phase's
+    replay being accidentally benign."""
+    cut = np.asarray(trace)[: int(sur.cut_off * len(trace))]
+    s = (cut - smax) / (smax - smin)
+    return [s[p::eff_filter] for p in range(min(n_phases, eff_filter))]
+
+
 def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     sur = cfg.surrogate
@@ -101,9 +112,13 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
                 f"{sur.epochs} epochs"
             )
         log = (lambda s: print(f"[rank {r}] {s}")) if verbose else (lambda s: None)
+        seqs = (
+            _cl_seqs(trace, smax, smin, sur, eff_filter)
+            if sur.arch == "linear" else None
+        )
         params, hist = fit(
             sur, X[tr], Y[tr], X[va], Y[va],
-            log_every=50 if verbose else 0, log_fn=log,
+            log_every=50 if verbose else 0, log_fn=log, seqs=seqs,
         )
         store.save_training_curves(r, hist)
         save_params(
@@ -240,9 +255,27 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
     log = (lambda s: print(f"[stacked] {s}")) if verbose else (lambda s: None)
     import time as _time
 
+    seqs = None
+    if sur.arch == "linear":
+        # padded+scaled+masked coarse sequences of the training portion,
+        # mirroring the window convention above, for closed-loop ridge
+        # selection (models/linear.py:fit_linear)
+        seqs = []
+        for r in range(n_parts):
+            cut = np.asarray(traces[r])[
+                : int(sur.cut_off * len(traces[r]))
+            ]
+            pad = np.zeros((len(cut), Dmax))
+            pad[:, : dims[r]] = cut
+            s = ((pad - smaxs[r]) / (smaxs[r] - smins[r])) * fm[r]
+            seqs.append(
+                [s[p::eff_filter] for p in range(min(3, eff_filter))]
+            )
+
     _t0 = _time.perf_counter()
     params, hist = fit_stacked(
-        sur, Xp, Yp, fm, log_every=50 if verbose else 0, log_fn=log
+        sur, Xp, Yp, fm, log_every=50 if verbose else 0, log_fn=log,
+        seqs=seqs,
     )
     from ..utils import stage_log
 
