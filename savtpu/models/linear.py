@@ -44,12 +44,30 @@ def linear_predict(params, x, n_future: int, feat_mask=None):
     Direct multi-horizon regression — no recursion, so no feedback error
     accumulation inside the window. ``feat_mask`` zeroes padded feature
     dims of BOTH input and output (the stacked-training convention of
-    seq2seq_predict)."""
+    seq2seq_predict).
+
+    The matmul runs at HIGHEST precision: on TPU the MXU's default
+    bf16-pass product has ~1e-2 relative error on this cancellation-heavy
+    map (the ridge W has large near-cancelling coefficients), and the
+    online stage feeds the output back — measured on 96x8x8/16, a
+    bf16-truncated replay diverges the 33-block loop (rel-L2 1e10) while
+    the exact-f32 replay is stable at ~5% shared error. Same failure
+    mode and same fix as the FEM matvec (ops/precision.py); cost is one
+    (150, n_past*D) x (n_past*D, n_future*D) product per block —
+    negligible."""
+    import jax
+
     lin = params["lin"]
     B, n_past, D = x.shape
     if feat_mask is not None:
         x = x * feat_mask
-    y = x.reshape(B, n_past * D) @ lin["W"] + lin["b"]
+    y = (
+        jnp.matmul(
+            x.reshape(B, n_past * D), lin["W"],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + lin["b"]
+    )
     y = y.reshape(B, n_future, D)
     if feat_mask is not None:
         y = y * feat_mask
@@ -120,6 +138,7 @@ def closed_loop_rel(
     seq: np.ndarray,        # (Tc, D) SCALED coarse-grid sequence
     n_past: int,
     n_future: int,
+    noise_rel: float = 1e-5,
 ) -> float:
     """Autoregressive replay error of the window map on one coarse
     sequence: start from the first n_past rows, repeatedly predict the
@@ -134,24 +153,60 @@ def closed_loop_rel(
     (measured: ridge=1e-6 on 96x8x8/16 -> val rel ~1e-3 but online
     rel-L2 = 1e10, even with the spectral radius clipped to 0.999 —
     transient growth of a non-normal map is not controlled by its
-    eigenvalues)."""
+    eigenvalues).
+
+    Three deployment-matching details, all load-bearing. The rollout
+    runs in FLOAT32 (what the online scan feeds back); an unstable mode
+    of a clipped-but-ill-conditioned map is seeded at rounding
+    amplitude, and a short f64 replay undershoots it by ~8 decades. The
+    recursion continues past the end of ``seq`` to ``min_blocks`` total
+    iterations with a magnitude tripwire — the training portion covers
+    ~15 blocks while deployment runs 33, so latent 2x/block growth that
+    is still microscopic at block 15 must be given room to surface. And
+    ``noise_rel``-scaled pseudo-noise (fixed seed) is injected into the
+    feedback each block: a SELF-CONSISTENT replay of an ill-conditioned
+    map can ride a razor's edge that any real deployment falls off —
+    measured on 96x8x8/16: a 1e-5 cross-process arithmetic difference in
+    the warm-up moved the ridge-1e-6 map's first-block prediction by
+    O(1) relative (single-application noise gain ~10x), and the TPU's
+    matmul rounding re-excites that gain every block, diverging a loop
+    whose noise-free CPU replay scores 5%. The injected noise makes the
+    score measure the closed-loop TRANSFER GAIN, not just the clean
+    orbit — the same methodology as the repo's boundary-noise transfer
+    study (docs/STATUS_r3.md), applied at model-selection time."""
     Tc, D = seq.shape
     n_blocks = (Tc - n_past) // n_future
     if n_blocks < 1:
         return float("inf")
-    hist = seq[:n_past].astype(np.float64).copy()
+    min_blocks = 48
+    W32 = W.astype(np.float32)
+    b32 = b.astype(np.float32)
+    bound = 20.0 * max(float(np.abs(seq).max()), 1.0)
+    rng = np.random.default_rng(0)
+    sig = noise_rel * float(np.sqrt(np.mean(seq.astype(np.float64) ** 2)))
+    hist = seq[:n_past].astype(np.float32).copy()
     err2 = 0.0
     den2 = 0.0
     t = n_past
-    for _ in range(n_blocks):
-        y = (hist.reshape(1, -1) @ W + b).reshape(n_future, D)
-        if not np.all(np.isfinite(y)):
+    for k in range(max(n_blocks, min_blocks)):
+        y = (hist.reshape(1, -1) @ W32 + b32).reshape(n_future, D)
+        if sig > 0:
+            # white + constant-in-time components: the perturbation that
+            # actually destabilized deployment was SMOOTH (a coherent
+            # trajectory offset, not jitter) — white noise alone leaves
+            # the dangerous low-frequency direction unexcited
+            y = y + rng.normal(size=y.shape).astype(np.float32) * sig
+            y = y + rng.normal(size=(1, D)).astype(np.float32) * sig
+        if not np.all(np.isfinite(y)) or float(np.abs(y).max()) > bound:
             return float("inf")
-        truth = seq[t : t + n_future]
-        err2 += float(((y - truth) ** 2).sum())
-        den2 += float((truth**2).sum())
+        if k < n_blocks:
+            truth = seq[t : t + n_future]
+            err2 += float(
+                ((y.astype(np.float64) - truth) ** 2).sum()
+            )
+            den2 += float((truth**2).sum())
+            t += n_future
         hist = np.concatenate([hist, y])[-n_past:]
-        t += n_future
     if not np.isfinite(err2):
         return float("inf")
     return float(np.sqrt(err2 / max(den2, 1e-300)))

@@ -205,17 +205,27 @@ def modal_predict_stacked(sparams, hist, smaxv, sminv, sur, modal,
             sparams, hist, smaxv, sminv,
             sur.n_past, sur.n_future, sur.filter_size, feat_mask=fmaskv,
         )
+    import jax
+
+    # HIGHEST precision on the projection matmuls: the reconstruction
+    # feeds the online loop back, and the MXU's default bf16 passes are
+    # what destabilized the linear surrogate (models/linear.py:
+    # linear_predict docstring)
+    _hi = jax.lax.Precision.HIGHEST
     mu, basis, fmc = modal
     histc = jnp.einsum(
         "pwd,pkd->pwk", hist - mu[:, None, :].astype(hist.dtype),
-        basis.astype(hist.dtype),
+        basis.astype(hist.dtype), precision=_hi,
     )
     coefs = phase_interleaved_predict_stacked(
         sparams, histc, smaxv, sminv,
         sur.n_past, sur.n_future, sur.filter_size, feat_mask=fmc,
     )
     out = (
-        jnp.einsum("ptk,pkd->ptd", coefs, basis.astype(coefs.dtype))
+        jnp.einsum(
+            "ptk,pkd->ptd", coefs, basis.astype(coefs.dtype),
+            precision=_hi,
+        )
         + mu[:, None, :].astype(coefs.dtype)
     )
     return out * fmaskv[:, None, :].astype(out.dtype)
