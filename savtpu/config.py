@@ -216,6 +216,17 @@ class SurrogateConfig:
                             # Scaling constants always come from phase 0
                             # (the reference contract the online stage
                             # cross-checks).
+    ensemble: int = 1  # savtpu extension: train this many independently
+                       # seeded surrogates per rank (one widened vmapped
+                       # stacked pass) and AVERAGE their predictions
+                       # online. The fine-mesh closed-loop error is
+                       # ~entirely in-band drift (pred_spectrum.json) and
+                       # retrain-to-retrain spread is ~1pp, i.e. a large
+                       # variance component that seed averaging cancels
+                       # ~1/sqrt(E); the systematic component is left
+                       # untouched. Scaling constants and modal bases are
+                       # data-derived, hence shared across members.
+                       # Stacked fast path only (lstm arch); 1 = off.
     pred_anchor: bool = False  # savtpu extension: per-block exchanged
                                # anchoring. At each block start, ONE
                                # exchanged step from the current state

@@ -272,9 +272,22 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
                 [s[p::eff_filter] for p in range(min(3, eff_filter))]
             )
 
+    # seed-ensemble (SurrogateConfig.ensemble): widen the stacked shard
+    # axis E-fold — fit_stacked derives per-"shard" init keys and
+    # train/val splits from the axis index, so each copy trains from an
+    # independent seed on the same windows. De-tiled below; the online
+    # stage averages member predictions (modal/scaled space — the scale
+    # is per-rank affine, so averaging commutes).
+    E = int(getattr(sur, "ensemble", 1) or 1)
+    if E > 1 and sur.arch != "lstm":
+        raise ValueError("surrogate.ensemble requires arch='lstm'")
+    Xp_t = np.concatenate([Xp] * E) if E > 1 else Xp
+    Yp_t = np.concatenate([Yp] * E) if E > 1 else Yp
+    fm_t = np.concatenate([fm] * E) if E > 1 else fm
+
     _t0 = _time.perf_counter()
     params, hist = fit_stacked(
-        sur, Xp, Yp, fm, log_every=50 if verbose else 0, log_fn=log,
+        sur, Xp_t, Yp_t, fm_t, log_every=50 if verbose else 0, log_fn=log,
         seqs=seqs,
     )
     from ..utils import stage_log
@@ -292,7 +305,14 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
 
     results = {}
     for r in range(n_parts):
-        params_r = jax.tree.map(lambda a: np.asarray(a[r]), params)
+        if E > 1:
+            # (E, ...) member stack per rank; sidecar records "ensemble"
+            idx = [e * n_parts + r for e in range(E)]
+            params_r = jax.tree.map(
+                lambda a: np.stack([np.asarray(a[i]) for i in idx]), params
+            )
+        else:
+            params_r = jax.tree.map(lambda a: np.asarray(a[r]), params)
         hist_r = {
             k: hist[k][:, r].tolist() for k in hist
         }
@@ -311,6 +331,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
             meta={
                 **modal_meta,
                 "arch": sur.arch,
+                "ensemble": E,
                 "window_phases": int(getattr(sur, "window_phases", 1) or 1),
                 "input_size": int(Dmax),
                 "real_input_size": int(dims[r]),

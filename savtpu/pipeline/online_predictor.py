@@ -53,6 +53,7 @@ def load_rank_models(ctx: StageContext):
                 f"(savtpu.pipeline.model_training) first"
             )
         meta = load_params_meta(ctx.store.model_file(r))
+        ens = int(meta.get("ensemble", 1) or 1)
         if meta.get("arch", "lstm") == "linear":
             from ..models.linear import init_linear
 
@@ -61,14 +62,24 @@ def load_rank_models(ctx: StageContext):
                 dtype=jnp.dtype(sur.dtype),
             )
         else:
-            template = init_seq2seq(
-                jax.random.PRNGKey(0),
-                meta["input_size"],
-                meta["hidden_size"],
-                meta["num_layers_encoder"],
-                meta["bidirectional"],
-                dtype=jnp.dtype(sur.dtype),
-            )
+            def _init(k):
+                return init_seq2seq(
+                    k,
+                    meta["input_size"],
+                    meta["hidden_size"],
+                    meta["num_layers_encoder"],
+                    meta["bidirectional"],
+                    dtype=jnp.dtype(sur.dtype),
+                )
+
+            if ens > 1:
+                # seed-ensemble sidecar: every leaf has a leading (E,)
+                # member axis (SurrogateConfig.ensemble)
+                template = jax.vmap(_init)(
+                    jax.random.split(jax.random.PRNGKey(0), ens)
+                )
+            else:
+                template = _init(jax.random.PRNGKey(0))
         params = load_params(ctx.store.model_file(r), template)
 
         # recompute the scaling constants from the stored trace, like the
@@ -113,6 +124,7 @@ def load_rank_models(ctx: StageContext):
                 int(meta["input_size"]),
                 bool(meta.get("padded_input", False)),
                 modal_info,
+                ens,
             )
         )
     return models
@@ -192,20 +204,35 @@ def anchor_block(sp, carry, preds):
 
 
 def modal_predict_stacked(sparams, hist, smaxv, sminv, sur, modal,
-                          fmaskv):
+                          fmaskv, ens: int = 1):
     """Stacked phase-interleaved block prediction with optional modal
     projection: physical history (P, W, S3) -> physical block (P, T, S3).
-    ``modal`` is None or (mu (P,S3), basis (P,K,S3), coef_mask (P,K))."""
+    ``modal`` is None or (mu (P,S3), basis (P,K,S3), coef_mask (P,K)).
+    ``ens > 1``: param leaves carry a member axis at position 1
+    ((P, E, ...)); member predictions are averaged (the per-rank scaling
+    is affine, so averaging scaled outputs equals averaging raw ones)."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.predictor import phase_interleaved_predict_stacked
 
+    def _pred(params, h, fm):
+        if ens <= 1:
+            return phase_interleaved_predict_stacked(
+                params, h, smaxv, sminv,
+                sur.n_past, sur.n_future, sur.filter_size, feat_mask=fm,
+            )
+        outs = jax.vmap(
+            lambda p: phase_interleaved_predict_stacked(
+                p, h, smaxv, sminv,
+                sur.n_past, sur.n_future, sur.filter_size, feat_mask=fm,
+            ),
+            in_axes=1,
+        )(params)
+        return jnp.mean(outs, axis=0)
+
     if modal is None:
-        return phase_interleaved_predict_stacked(
-            sparams, hist, smaxv, sminv,
-            sur.n_past, sur.n_future, sur.filter_size, feat_mask=fmaskv,
-        )
-    import jax
+        return _pred(sparams, hist, fmaskv)
 
     # HIGHEST precision on the projection matmuls: the reconstruction
     # feeds the online loop back, and the MXU's default bf16 passes are
@@ -217,10 +244,7 @@ def modal_predict_stacked(sparams, hist, smaxv, sminv, sur, modal,
         "pwd,pkd->pwk", hist - mu[:, None, :].astype(hist.dtype),
         basis.astype(hist.dtype), precision=_hi,
     )
-    coefs = phase_interleaved_predict_stacked(
-        sparams, histc, smaxv, sminv,
-        sur.n_past, sur.n_future, sur.filter_size, feat_mask=fmc,
-    )
+    coefs = _pred(sparams, histc, fmc)
     out = (
         jnp.einsum(
             "ptk,pkd->ptd", coefs, basis.astype(coefs.dtype),
@@ -232,7 +256,7 @@ def modal_predict_stacked(sparams, hist, smaxv, sminv, sur, modal,
 
 
 def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
-                            modal=None):
+                            modal=None, ens: int = 1):
     """Build the fused block-group executor: ``nb`` blocks of the online
     schedule — phase-interleaved prediction, owner consensus, the
     comm-free ``block``-step scan, and the history roll — as ONE compiled
@@ -264,7 +288,7 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
             d0b, dnb, tb, hist = c
             blockpred = modal_predict_stacked(
                 sparams, hist, smaxv, sminv, sur,
-                mavs if mavs else None, fmaskv,
+                mavs if mavs else None, fmaskv, ens=ens,
             )
             preds = blockpred.astype(state_dtype)
             if consensus_on:
@@ -379,6 +403,10 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
     # (SurrogateConfig.modal_dim).
     modal_on = P > 0 and all(m[5] is not None for m in models)
     some_modal = any(m[5] is not None for m in models)
+    ens_set = {m[6] for m in models}
+    if len(ens_set) > 1:
+        raise ValueError(f"mixed ensemble sizes across ranks: {ens_set}")
+    ens_m = ens_set.pop() if ens_set else 1
     if modal_on:
         stacked_ok = (
             all(m[4] for m in models)
@@ -537,7 +565,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         sp_data = solver._data()
         run_block_group = make_block_group_runner(
             solver, sur, block=block, se_run=se_run,
-            state_dtype=state_dtype, W=W, modal=modal_pack,
+            state_dtype=state_dtype, W=W, modal=modal_pack, ens=ens_m,
         )
 
         full_blocks = (num_steps - n_sync) // block
@@ -605,7 +633,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 # prediction history to real dynamics.
                 blockpred = modal_predict_stacked(
                     stacked_params, hist_dev, smax_v, smin_v, sur,
-                    modal_pack, fmask_v,
+                    modal_pack, fmask_v, ens=ens_m,
                 )
                 preds_s = blockpred.astype(state_dtype)
                 if sur.pred_consensus:
@@ -645,7 +673,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             n = num_steps - i
             blockpred = modal_predict_stacked(
                 stacked_params, hist_dev, smax_v, smin_v, sur,
-                modal_pack, fmask_v,
+                modal_pack, fmask_v, ens=ens_m,
             )
             preds = blockpred[:, :n, :].astype(state_dtype)
             if sur.pred_consensus:
@@ -675,7 +703,30 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             Dr = 3 * len(maps.shared_nodes[r])
             if Dr == 0:
                 continue
-            params, smax, smin, D_in, padded, m_info = models[r]
+            params, smax, smin, D_in, padded, m_info, ens_r = models[r]
+            if ens_r > 1:
+                import jax
+
+                # fallback path: average member predictions via a small
+                # host loop (the stacked fast path vmaps instead)
+                members = [
+                    jax.tree.map(lambda a: a[e], params)
+                    for e in range(ens_r)
+                ]
+            else:
+                members = [params]
+
+            def _avg_predict(hist_in, mx, mn, fmask_in):
+                outs = [
+                    phase_interleaved_predict(
+                        p, hist_in, mx, mn,
+                        sur.n_past, sur.n_future, sur.filter_size,
+                        feat_mask=fmask_in,
+                    )
+                    for p in members
+                ]
+                return sum(outs) / len(outs)
+
             fmask = None
             if m_info is not None:
                 # modal model: project the physical window to mode
@@ -690,12 +741,9 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 histc[:, : basis.shape[0]] = to_modal(hist_p, mu, basis)
                 fmask = jnp.zeros((D_in,), dtype=jnp.dtype(sur.dtype))
                 fmask = fmask.at[: basis.shape[0]].set(1.0)
-                coefs = phase_interleaved_predict(
-                    params,
+                coefs = _avg_predict(
                     jnp.asarray(histc, dtype=jnp.dtype(sur.dtype)),
-                    smax, smin,
-                    sur.n_past, sur.n_future, sur.filter_size,
-                    feat_mask=fmask,
+                    smax, smin, fmask,
                 )
                 rec = from_modal(
                     np.asarray(coefs)[:n, : basis.shape[0]], mu, basis
@@ -715,11 +763,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 shared_hist[r, i - sur.n_past * sur.filter_size : i, :Dr_feed],
                 dtype=jnp.dtype(sur.dtype),
             )
-            blockpred = phase_interleaved_predict(
-                params, hist, smax, smin,
-                sur.n_past, sur.n_future, sur.filter_size,
-                feat_mask=fmask,
-            )
+            blockpred = _avg_predict(hist, smax, smin, fmask)
             preds[r, :, :Dr] = np.asarray(blockpred)[:n, :Dr]
         preds = jnp.asarray(preds, dtype=state_dtype)
         if sur.pred_consensus:

@@ -62,6 +62,17 @@ def main():
                          "coarse-grid phase offsets (retrains stage 3)")
     ap.add_argument("--rollout", type=int, default=0,
                     help="rollout_windows for training (retrains stage 3)")
+    ap.add_argument("--cutoff", type=float, default=None,
+                    help="surrogate.cut_off override (retrains stage 3). "
+                         "cut_off=1.0 is a DIAGNOSTIC upper bound: it "
+                         "trains on the full trace being predicted, "
+                         "separating extrapolation/distribution-shift "
+                         "error from in-distribution autoregressive drift")
+    ap.add_argument("--input-noise", type=float, default=None,
+                    help="surrogate.input_noise (retrains stage 3)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="surrogate.seed (retrains stage 3; for retrain-"
+                         "spread estimates)")
     ap.add_argument("--compensated", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -116,6 +127,15 @@ def main():
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
         retrain = True
+    if args.cutoff is not None:
+        cfg.surrogate.cut_off = args.cutoff
+        retrain = True
+    if args.input_noise is not None:
+        cfg.surrogate.input_noise = args.input_noise
+        retrain = True
+    if args.seed is not None:
+        cfg.surrogate.seed = args.seed
+        retrain = True
     if args.epoch_chunk:
         cfg.surrogate.epoch_chunk = args.epoch_chunk
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
@@ -144,6 +164,10 @@ def main():
         "hidden": cfg.surrogate.hidden_size,
         "epochs": cfg.surrogate.num_epochs,
         "consensus": not args.no_consensus,
+        "cut_off": cfg.surrogate.cut_off,
+        "input_noise": cfg.surrogate.input_noise,
+        "seed": cfg.surrogate.seed,
+        "phases": int(getattr(cfg.surrogate, "window_phases", 1) or 1),
         "online_seconds": round(t_online, 1),
         "global_rel_l2": round(metrics.get("global_rel_l2_nonshared", -1), 5),
         "rel_l2_per_rank": [round(v, 5) for v in rels],
@@ -165,6 +189,12 @@ def main():
         tag += f"_W{args.rollout}"
     if args.resync:
         tag += f"_rs{args.resync}"
+    if args.cutoff is not None:
+        tag += f"_cut{args.cutoff:g}"
+    if args.input_noise is not None:
+        tag += f"_in{args.input_noise:g}"
+    if args.seed is not None:
+        tag += f"_s{args.seed}"
     if args.filter_size:
         tag += f"_ns{args.filter_size}"
     if args.n_past:

@@ -213,6 +213,84 @@ def test_pipeline_modal_surrogate(tmp_path, stacked):
         assert len(meta["modal_basis"]) == 3
 
 
+@pytest.mark.parametrize("stacked", [True, False])
+def test_pipeline_ensemble_surrogate(tmp_path, stacked):
+    """ensemble=3: three independently seeded surrogates per rank trained
+    in one widened stacked pass; the online stage averages member
+    predictions (stacked fast path and per-rank fallback)."""
+    import json
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.surrogate.stacked = True   # ensemble trains via the stacked pass
+    cfg.surrogate.ensemble = 3
+    cfg.surrogate.modal_dim = 0 if stacked else 3
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_sync = cfg.surrogate.i_cri + 1
+    for r in range(2):
+        data = load_displacement(store.dynamics_h5(r))
+        pred = load_displacement(store.modeled_h5(r))
+        assert np.isfinite(pred).all()
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        assert np.abs(pred).max() < 10 * max(np.abs(data).max(), 1e-12)
+        meta = json.loads(store.model_file(r).with_suffix(".json").read_text())
+        assert meta["ensemble"] == 3
+
+
+def test_ensemble_members_distinct_and_averaged(tmp_path):
+    """Member params differ (independent seeds) and the stacked predictor
+    returns the mean of per-member predictions."""
+    import jax
+    import jax.numpy as jnp
+
+    from savtpu.pipeline import data_prepare, model_training, shared_extraction
+    from savtpu.pipeline.online_predictor import load_rank_models
+    from savtpu.pipeline.common import build_context
+    from savtpu.models.predictor import phase_interleaved_predict_stacked
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.surrogate.stacked = True
+    cfg.surrogate.ensemble = 2
+    ctx = build_context(cfg)
+    data_prepare.run(cfg, ctx=ctx, verbose=False)
+    shared_extraction.run(cfg)
+    model_training.run(cfg, verbose=False)
+    models = load_rank_models(ctx)
+    params, smax, smin, D_in, _, _, ens = models[0]
+    assert ens == 2
+    m0 = jax.tree.map(lambda a: a[0], params)
+    m1 = jax.tree.map(lambda a: a[1], params)
+    diffs = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), m0, m1)
+    )
+    assert max(diffs) > 1e-6  # independently seeded members
+
+    sur = cfg.surrogate
+    W = sur.n_past * sur.filter_size
+    rng = np.random.default_rng(0)
+    hist = jnp.asarray(rng.normal(size=(1, W, D_in)), jnp.float32)
+    sp = jax.tree.map(lambda a: jnp.asarray(a)[None], params)  # (1, E, ...)
+    mx = jnp.asarray([models[0][1]], jnp.float32)
+    mn = jnp.asarray([models[0][2]], jnp.float32)
+    fm = jnp.ones((1, D_in), jnp.float32)
+
+    from savtpu.pipeline.online_predictor import modal_predict_stacked
+
+    avg = modal_predict_stacked(sp, hist, mx, mn, sur, None, fm, ens=2)
+    singles = [
+        phase_interleaved_predict_stacked(
+            jax.tree.map(lambda a: jnp.asarray(a)[None], m),
+            hist, mx, mn, sur.n_past, sur.n_future, sur.filter_size,
+            feat_mask=fm,
+        )
+        for m in (m0, m1)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(avg), np.asarray((singles[0] + singles[1]) / 2),
+        rtol=0, atol=1e-6,
+    )
+
+
 def test_modal_basis_roundtrip():
     """A spatially low-rank trace reconstructs through its modal basis to
     numerical precision."""
