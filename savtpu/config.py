@@ -186,7 +186,15 @@ class SurrogateConfig:
                         # error is zero BY CONSTRUCTION. 0 = off
                         # (reference behavior).
     arch: str = "lstm"  # surrogate architecture: "lstm" (the reference's
-                        # encoder-decoder, DNN_tools.py:85-98) | "linear"
+                        # encoder-decoder, DNN_tools.py:85-98) |
+                        # "expfit" (savtpu extension: two-segment
+                        # Prony/matrix-pencil system identification of
+                        # the interface motion, models/expfit.py — the
+                        # plant is LTI after the 1 s load ramp, so
+                        # closed-form pole/amplitude extrapolation
+                        # replaces sequence regression entirely; open
+                        # loop in time -> zero autoregressive drift;
+                        # fits in milliseconds) | "linear"
                         # (savtpu extension: one ridge-regression affine
                         # map flat(n_past window) -> flat(n_future window),
                         # fit in closed form on host — no epochs. The
@@ -197,6 +205,17 @@ class SurrogateConfig:
                         # here, and its cost is slow in-band drift
                         # (runs/scale_96/pred_spectrum.json). Pairs
                         # naturally with modal_dim.)
+    expfit_order: int = 24  # arch="expfit": matrix-pencil model order
+                            # (number of complex poles; conjugate pairs
+                            # count twice). 24 covers the beam's resolved
+                            # interface modes with margin; the SVD
+                            # truncation discards unused ones gracefully.
+    expfit_ramp_s: float = 1.0  # arch="expfit": load-ramp end time in
+                                # seconds (ops/material.py linear_ramp /
+                                # reference commons.py:7-11) — the
+                                # two-segment boundary of the signal
+                                # model. <= 0 treats the whole trace as
+                                # one autonomous segment.
     ridge_lambda: float = 1e-6  # Tikhonov strength for arch="linear",
                                 # relative to mean(diag(X^T X)); the fit
                                 # is ~insensitive over 1e-4..1e-8.

@@ -74,10 +74,128 @@ def _cl_seqs(trace, smax, smin, sur, eff_filter, n_phases=3):
     return [s[p::eff_filter] for p in range(min(n_phases, eff_filter))]
 
 
+def _stage1_dt(cfg: Config) -> float:
+    """Timestep of the recorded trace, from the stage-1 metrics.jsonl
+    event (pipeline/data_prepare.py logs it) — stage 3 deliberately
+    re-derives everything from stored artifacts, never the live mesh."""
+    import json
+    from pathlib import Path
+
+    p = Path(cfg.workdir) / "metrics.jsonl"
+    dt = None
+    if p.exists():
+        for line in p.read_text().splitlines():
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("event") == "stage1_solve" and "dt" in ev:
+                dt = float(ev["dt"])
+    if dt is None:
+        raise FileNotFoundError(
+            f"arch='expfit' needs the stage-1 dt from {p} "
+            f"(event stage1_solve) — run stage 1 first"
+        )
+    return dt
+
+
+def _run_expfit(cfg: Config, store: ArtifactStore, n_parts: int,
+                verbose: bool):
+    """arch="expfit": two-segment matrix-pencil system identification per
+    rank (models/expfit.py). Host float64, milliseconds per rank — no
+    epochs, no device."""
+    from ..models.expfit import eval_expfit, fit_expfit
+
+    sur = cfg.surrogate
+    dt = _stage1_dt(cfg)
+    se = max(int(cfg.solver.save_every), 1)
+    ramp_s = float(getattr(sur, "expfit_ramp_s", 1.0) or 0.0)
+    results = {}
+    for r in range(n_parts):
+        trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
+        T, D = trace.shape
+        cut = int(sur.cut_off * T)
+        modal_meta = {}
+        co = trace
+        if sur.modal_dim:
+            from ..models.modal import modal_basis, to_modal
+
+            mu, basis = modal_basis(trace[:cut], sur.modal_dim)
+            modal_meta = {
+                "modal_dim": int(basis.shape[0]),
+                "modal_phys_size": int(D),
+                "modal_mean": mu.tolist(),
+                "modal_basis": basis.tolist(),
+            }
+            co = to_modal(trace, mu, basis)
+        C = co.shape[1]
+        ramp_end_row = (ramp_s / (dt * se)) if ramp_s > 0 else 0.0
+        params, info = fit_expfit(
+            co[:cut], ramp_end_row, order=sur.expfit_order
+        )
+        # held-out check WITHIN the training contract: refit on the first
+        # 80% of the cut rows, score on the last 20%
+        cut8 = int(0.8 * cut)
+        p8, _ = fit_expfit(co[:cut8], ramp_end_row, order=sur.expfit_order)
+        val = eval_expfit(p8, np.arange(cut8, cut, dtype=float),
+                          ramp_end_row)
+        denom = float(np.linalg.norm(co[cut8:cut])) or 1.0
+        val_rel = float(np.linalg.norm(val - co[cut8:cut]) / denom)
+        fit_full = eval_expfit(params, np.arange(cut, dtype=float),
+                               ramp_end_row)
+        fit_rel = float(
+            np.linalg.norm(fit_full - co[:cut])
+            / (float(np.linalg.norm(co[:cut])) or 1.0)
+        )
+        if verbose:
+            print(
+                f"[model_training] rank {r}: expfit {info['n_modes']} "
+                f"modes, train rel {fit_rel:.2e}, held-out rel "
+                f"{val_rel:.2e}"
+            )
+        save_params(
+            store.model_file(r),
+            params,
+            meta={
+                **modal_meta,
+                "arch": "expfit",
+                "input_size": int(C),
+                "real_input_size": int(C),
+                "padded_input": False,
+                "expfit_order": int(sur.expfit_order),
+                "expfit_modes": int(info["n_modes"]),
+                "expfit_ramp_end_row": float(ramp_end_row),
+                "expfit_has_post_segment": bool(info["has_post_segment"]),
+                "save_every": int(se),
+                "n_past": sur.n_past,
+                "n_future": sur.n_future,
+                "filter_size": sur.filter_size,
+                "cut_off": sur.cut_off,
+                "final_train_loss": fit_rel,
+                "final_val_r2": 1.0 - val_rel**2,
+            },
+        )
+        results[r] = (params, {"fit_rel": fit_rel, "val_rel": val_rel})
+        from ..utils import stage_log
+
+        stage_log(cfg).log(
+            "stage3_train_rank",
+            rank=r,
+            arch="expfit",
+            input_size=int(C),
+            n_modes=int(info["n_modes"]),
+            fit_rel=fit_rel,
+            val_rel=val_rel,
+        )
+    return results
+
+
 def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     sur = cfg.surrogate
     n_parts = n_parts or cfg.partition.n_parts
+    if getattr(sur, "arch", "lstm") == "expfit":
+        return _run_expfit(cfg, store, n_parts, verbose)
     stacked = sur.stacked if sur.stacked is not None else n_parts > 1
     if stacked:
         return _run_stacked(cfg, store, n_parts, verbose)

@@ -54,6 +54,26 @@ def load_rank_models(ctx: StageContext):
             )
         meta = load_params_meta(ctx.store.model_file(r))
         ens = int(meta.get("ensemble", 1) or 1)
+        if meta.get("arch", "lstm") == "expfit":
+            # host-evaluated Prony surrogate (models/expfit.py): no
+            # scaling constants, params stay host-side float64
+            from ..models.expfit import init_expfit
+
+            template = init_expfit(
+                int(meta["expfit_modes"]), int(meta["input_size"])
+            )
+            params = load_params(ctx.store.model_file(r), template)
+            modal_info = None
+            if meta.get("modal_dim"):
+                modal_info = (
+                    np.asarray(meta["modal_mean"], dtype=np.float64),
+                    np.asarray(meta["modal_basis"], dtype=np.float64),
+                )
+            models.append(
+                (params, 0.0, -1.0, int(meta["input_size"]), False,
+                 modal_info, 1, meta)
+            )
+            continue
         if meta.get("arch", "lstm") == "linear":
             from ..models.linear import init_linear
 
@@ -125,6 +145,7 @@ def load_rank_models(ctx: StageContext):
                 bool(meta.get("padded_input", False)),
                 modal_info,
                 ens,
+                meta,
             )
         )
     return models
@@ -255,8 +276,30 @@ def modal_predict_stacked(sparams, hist, smaxv, sminv, sur, modal,
     return out * fmaskv[:, None, :].astype(out.dtype)
 
 
+def modal_reconstruct(coefs, modal, fmaskv):
+    """(P, T, K) mode coefficients -> (P, T, S3) physical shared rows
+    (``modal`` as in modal_predict_stacked; None = coefs are already
+    physical, padded to S3)."""
+    import jax
+    import jax.numpy as jnp
+
+    if modal is None:
+        out = coefs
+    else:
+        mu, basis, _ = modal
+        out = (
+            jnp.einsum(
+                "ptk,pkd->ptd", coefs, basis.astype(coefs.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + mu[:, None, :].astype(coefs.dtype)
+        )
+    return out * fmaskv[:, None, :].astype(out.dtype)
+
+
 def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
-                            modal=None, ens: int = 1):
+                            modal=None, ens: int = 1,
+                            expfit: bool = False):
     """Build the fused block-group executor: ``nb`` blocks of the online
     schedule — phase-interleaved prediction, owner consensus, the
     comm-free ``block``-step scan, and the history roll — as ONE compiled
@@ -281,15 +324,24 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
     )
 
     def block_group_body(data, d0c, dnc, tc, hist, sparams, smaxv,
-                         sminv, fmaskv, cnt, mavs, nb, reduce_fn):
+                         sminv, fmaskv, cnt, mavs, coefs, nb, reduce_fn):
         lsp = solver._local_view(data)
 
-        def one_block(c, _):
+        def one_block(c, xs):
             d0b, dnb, tb, hist = c
-            blockpred = modal_predict_stacked(
-                sparams, hist, smaxv, sminv, sur,
-                mavs if mavs else None, fmaskv, ens=ens,
-            )
+            if expfit:
+                # arch="expfit": the block's mode coefficients were
+                # evaluated closed-form on host (models/expfit.py) and
+                # ride in as scan inputs — open loop in time, the
+                # history window feeds only smooth_preds' front pad
+                blockpred = modal_reconstruct(
+                    xs, mavs if mavs else None, fmaskv
+                )
+            else:
+                blockpred = modal_predict_stacked(
+                    sparams, hist, smaxv, sminv, sur,
+                    mavs if mavs else None, fmaskv, ens=ens,
+                )
             preds = blockpred.astype(state_dtype)
             if consensus_on:
                 preds = prediction_consensus(
@@ -321,14 +373,15 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
             return (d1, dprev, t1, hist), traj_b
 
         (d0c, dnc, tc, hist), trajs = jax.lax.scan(
-            one_block, (d0c, dnc, tc, hist), None, length=nb
+            one_block, (d0c, dnc, tc, hist),
+            coefs if expfit else None, length=nb,
         )
         return (d0c, dnc, tc), hist, trajs
 
     _bg_cache = {}
 
     def run_block_group(data, d0c, dnc, tc, hist, sparams, smaxv,
-                        sminv, fmaskv, nb):
+                        sminv, fmaskv, nb, coefs=None):
         fn = _bg_cache.get(nb)
         if fn is None:
             if solver.mesh is None:
@@ -357,15 +410,21 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
                 fn = jax.jit(_smap(
                     local,
                     mesh=solver.mesh,
+                    # coefs (nb, P, block, K): scan axis replicated,
+                    # parts sharded (empty pytree when not expfit; the
+                    # params placeholder is then an unsharded scalar)
                     in_specs=(data_specs, shard, shard, _P(), shard,
-                              shard, shard, shard, shard, _P(), shard),
+                              _P() if expfit else shard,
+                              shard, shard, shard, _P(), shard,
+                              _P(None, AXIS)),
                     out_specs=((shard, shard, _P()), shard,
                                _P(None, AXIS)),
                     check_vma=False,
                 ))
             _bg_cache[nb] = fn
         return fn(data, d0c, dnc, tc, hist, sparams, smaxv, sminv,
-                  fmaskv, cnt_global, tuple(modal) if modal else ())
+                  fmaskv, cnt_global, tuple(modal) if modal else (),
+                  coefs if expfit else ())
 
     return run_block_group
 
@@ -407,7 +466,16 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
     if len(ens_set) > 1:
         raise ValueError(f"mixed ensemble sizes across ranks: {ens_set}")
     ens_m = ens_set.pop() if ens_set else 1
-    if modal_on:
+    archs = {(m[7] or {}).get("arch", "lstm") for m in models}
+    expfit_on = archs == {"expfit"}
+    if "expfit" in archs and not expfit_on:
+        raise ValueError(f"mixed surrogate arches across ranks: {archs}")
+    if expfit_on:
+        # host-evaluated open-loop surrogate: always the stacked fused
+        # path; uniform K required only in modal mode (raw channels are
+        # padded to S3 below)
+        stacked_ok = (not modal_on) or len({m[3] for m in models}) == 1
+    elif modal_on:
         stacked_ok = (
             all(m[4] for m in models)
             and len({m[3] for m in models}) == 1
@@ -422,11 +490,22 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
     if stacked_ok:
         import jax
 
-        stacked_params = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[m[0] for m in models]
-        )
-        smax_v = jnp.asarray([m[1] for m in models], dtype=jnp.dtype(sur.dtype))
-        smin_v = jnp.asarray([m[2] for m in models], dtype=jnp.dtype(sur.dtype))
+        if expfit_on:
+            # params stay on host (coefficients are pre-evaluated there);
+            # the runner gets inert placeholders
+            stacked_params = 0.0
+            smax_v = jnp.zeros((P,), dtype=jnp.dtype(sur.dtype))
+            smin_v = jnp.zeros((P,), dtype=jnp.dtype(sur.dtype))
+        else:
+            stacked_params = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[m[0] for m in models]
+            )
+            smax_v = jnp.asarray(
+                [m[1] for m in models], dtype=jnp.dtype(sur.dtype)
+            )
+            smin_v = jnp.asarray(
+                [m[2] for m in models], dtype=jnp.dtype(sur.dtype)
+            )
         fmask_v = np.zeros((P, S3), dtype=np.float32)
         for r in range(P):
             fmask_v[r, : 3 * len(maps.shared_nodes[r])] = 1.0
@@ -448,6 +527,49 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 jnp.asarray(basis_np, dt_),
                 jnp.asarray(fmc, dt_),
             )
+
+    # arch="expfit": evaluate every rank's coefficient trajectory for the
+    # WHOLE prediction span on host in float64 (models/expfit.py — the
+    # model is a closed-form function of time, so there is nothing to
+    # feed back); blocks ship to the device as scan inputs per group.
+    coef_rows = None
+    if expfit_on:
+        from ..models.expfit import eval_expfit
+
+        T_pred = num_steps - n_sync
+        Kfeed = models[0][3] if modal_on else S3
+        if not modal_on and P * T_pred * S3 * 4 > 1_000_000_000:
+            raise ValueError(
+                "arch='expfit' without modal_dim would materialize "
+                f"{P}x{T_pred}x{S3} physical predictions; set "
+                "surrogate.modal_dim (e.g. 16) to feed mode "
+                "coefficients instead"
+            )
+        coef_rows = np.zeros((P, T_pred, Kfeed), dtype=np.float32)
+        steps = np.arange(n_sync, num_steps, dtype=np.float64)
+        for r, m in enumerate(models):
+            meta_r = m[7]
+            rows = steps / float(meta_r.get("save_every", 1) or 1)
+            co = eval_expfit(
+                m[0], rows, float(meta_r["expfit_ramp_end_row"])
+            )  # (T_pred, C_r)
+            coef_rows[r, :, : co.shape[1]] = co.astype(np.float32)
+
+        def expfit_block_preds(b0: int, n: int) -> np.ndarray:
+            """Physical (P, n, S3) predictions for steps
+            [n_sync + b0*block, n_sync + b0*block + n) — host f64
+            reconstruction for the resync / ragged-tail paths."""
+            lo = b0 * block
+            sl = coef_rows[:, lo : lo + n].astype(np.float64)
+            if not modal_on:
+                return sl
+            out = np.zeros((P, n, S3))
+            for r, m in enumerate(models):
+                mu, basis = m[5]
+                Dr = mu.shape[0]
+                K_r = basis.shape[0]
+                out[r, :, :Dr] = sl[r, :, :K_r] @ basis + mu
+            return out
 
     # shared-DOF history — feeds the predictor. The stacked fast path only
     # ever reads the trailing W = n_past*filter_size rows, so it keeps a
@@ -566,6 +688,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         run_block_group = make_block_group_runner(
             solver, sur, block=block, se_run=se_run,
             state_dtype=state_dtype, W=W, modal=modal_pack, ens=ens_m,
+            expfit=expfit_on,
         )
 
         full_blocks = (num_steps - n_sync) // block
@@ -604,9 +727,18 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             if resync:
                 nb = min(nb, resync - since_resync)
             d0c, dnc, tc = carry
+            coefs_g = None
+            if expfit_on:
+                lo = done_blocks * block
+                coefs_g = np.moveaxis(
+                    coef_rows[:, lo : lo + nb * block].reshape(
+                        P, nb, block, -1
+                    ),
+                    0, 1,
+                )  # (nb, P, block, K)
             carry, hist_dev, trajs_g = run_block_group(
                 sp_data, d0c, dnc, tc, hist_dev, stacked_params,
-                smax_v, smin_v, fmask_v, nb,
+                smax_v, smin_v, fmask_v, nb, coefs=coefs_g,
             )
             # (nb, P, block//se, DL) -> (P, nb*block//se, DL); offload to
             # host per group so device memory and the final fetch stay
@@ -631,10 +763,15 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 # x10-30 amplitude per hard-resync block). The smoothstep
                 # ramp releases it quasi-statically and re-anchors the
                 # prediction history to real dynamics.
-                blockpred = modal_predict_stacked(
-                    stacked_params, hist_dev, smax_v, smin_v, sur,
-                    modal_pack, fmask_v, ens=ens_m,
-                )
+                if expfit_on:
+                    blockpred = jnp.asarray(
+                        expfit_block_preds(done_blocks, block)
+                    )
+                else:
+                    blockpred = modal_predict_stacked(
+                        stacked_params, hist_dev, smax_v, smin_v, sur,
+                        modal_pack, fmask_v, ens=ens_m,
+                    )
                 preds_s = blockpred.astype(state_dtype)
                 if sur.pred_consensus:
                     preds_s = prediction_consensus(
@@ -671,10 +808,15 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         if stacked_ok and i < num_steps:
             # ragged tail (< one block): single fused-block call
             n = num_steps - i
-            blockpred = modal_predict_stacked(
-                stacked_params, hist_dev, smax_v, smin_v, sur,
-                modal_pack, fmask_v, ens=ens_m,
-            )
+            if expfit_on:
+                blockpred = jnp.asarray(
+                    expfit_block_preds(full_blocks, n)
+                )
+            else:
+                blockpred = modal_predict_stacked(
+                    stacked_params, hist_dev, smax_v, smin_v, sur,
+                    modal_pack, fmask_v, ens=ens_m,
+                )
             preds = blockpred[:, :n, :].astype(state_dtype)
             if sur.pred_consensus:
                 preds = prediction_consensus(
@@ -703,7 +845,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             Dr = 3 * len(maps.shared_nodes[r])
             if Dr == 0:
                 continue
-            params, smax, smin, D_in, padded, m_info, ens_r = models[r]
+            params, smax, smin, D_in, padded, m_info, ens_r = models[r][:7]
             if ens_r > 1:
                 import jax
 

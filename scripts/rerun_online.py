@@ -53,8 +53,10 @@ def main():
                     help="train surrogates on k PCA mode coefficients "
                          "(modal_dim; retrains stage 3)")
     ap.add_argument("--arch", type=str, default=None,
-                    choices=("lstm", "linear"),
+                    choices=("lstm", "linear", "expfit"),
                     help="surrogate architecture (retrains stage 3)")
+    ap.add_argument("--order", type=int, default=None,
+                    help="expfit_order for --arch expfit")
     ap.add_argument("--ridge", type=float, default=None,
                     help="ridge_lambda for --arch linear")
     ap.add_argument("--phases", type=int, default=None,
@@ -62,6 +64,9 @@ def main():
                          "coarse-grid phase offsets (retrains stage 3)")
     ap.add_argument("--rollout", type=int, default=0,
                     help="rollout_windows for training (retrains stage 3)")
+    ap.add_argument("--ensemble", type=int, default=None,
+                    help="surrogate.ensemble: average E independently "
+                         "seeded members online (retrains stage 3)")
     ap.add_argument("--cutoff", type=float, default=None,
                     help="surrogate.cut_off override (retrains stage 3). "
                          "cut_off=1.0 is a DIAGNOSTIC upper bound: it "
@@ -106,6 +111,9 @@ def main():
     if args.ridge is not None:
         cfg.surrogate.ridge_lambda = args.ridge
         retrain = True
+    if args.order is not None:
+        cfg.surrogate.expfit_order = args.order
+        retrain = True
     if args.phases:
         cfg.surrogate.window_phases = args.phases
         retrain = True
@@ -126,6 +134,9 @@ def main():
         retrain = True
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
+        retrain = True
+    if args.ensemble:
+        cfg.surrogate.ensemble = args.ensemble
         retrain = True
     if args.cutoff is not None:
         cfg.surrogate.cut_off = args.cutoff
@@ -164,6 +175,7 @@ def main():
         "hidden": cfg.surrogate.hidden_size,
         "epochs": cfg.surrogate.num_epochs,
         "consensus": not args.no_consensus,
+        "ensemble": int(getattr(cfg.surrogate, "ensemble", 1) or 1),
         "cut_off": cfg.surrogate.cut_off,
         "input_noise": cfg.surrogate.input_noise,
         "seed": cfg.surrogate.seed,
@@ -181,6 +193,8 @@ def main():
         tag += f"_{args.arch}"
     if args.ridge is not None:
         tag += f"_l{args.ridge:g}"
+    if args.order is not None:
+        tag += f"_M{args.order}"
     if args.phases:
         tag += f"_ph{args.phases}"
     if args.modal:
@@ -189,6 +203,8 @@ def main():
         tag += f"_W{args.rollout}"
     if args.resync:
         tag += f"_rs{args.resync}"
+    if args.ensemble:
+        tag += f"_E{args.ensemble}"
     if args.cutoff is not None:
         tag += f"_cut{args.cutoff:g}"
     if args.input_noise is not None:

@@ -256,7 +256,7 @@ def test_ensemble_members_distinct_and_averaged(tmp_path):
     shared_extraction.run(cfg)
     model_training.run(cfg, verbose=False)
     models = load_rank_models(ctx)
-    params, smax, smin, D_in, _, _, ens = models[0]
+    params, smax, smin, D_in, _, _, ens = models[0][:7]
     assert ens == 2
     m0 = jax.tree.map(lambda a: a[0], params)
     m1 = jax.tree.map(lambda a: a[1], params)
