@@ -106,6 +106,16 @@ def build_context(
         compensated=compensated, material=material,
     )
     mark("device_pack_s")
+    # fint_mode='banded' RCM-reorders the local DOF layout inside
+    # ShardedProblem.build; sp.maps is then the authoritative map set.
+    # Using the pre-reorder maps here permuted every artifact (CSV
+    # labels, shared traces, trained channels, plotter masks) against
+    # the device trajectory/sld layout — the root cause of the r2/r3
+    # refined-mesh "accuracy plateau" (docs/STATUS_r3.md): banded only
+    # kicks in past DL~1536, exactly where global rel-L2 jumped to
+    # 6-10% independent of the surrogate.
+    if sp.maps is not None:
+        maps = sp.maps
     solver = ShardedSolver(sp, mesh=device_mesh)
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     from ..utils import stage_log

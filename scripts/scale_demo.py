@@ -42,6 +42,19 @@ def main():
                     choices=["joint", "per_feature"],
                     help="surrogate feature scaling (per_feature for "
                          "high shard counts, models/data.py)")
+    ap.add_argument("--arch", type=str, default=None,
+                    choices=("lstm", "linear", "expfit"),
+                    help="surrogate architecture (default: config lstm)")
+    ap.add_argument("--modal", type=int, default=0,
+                    help="surrogate.modal_dim (PCA mode coefficients)")
+    ap.add_argument("--smooth", type=int, default=None,
+                    help="surrogate.pred_smooth override")
+    ap.add_argument("--no-consensus", action="store_true")
+    ap.add_argument("--material", type=str, default=None,
+                    choices=("linear", "neo_hookean"),
+                    help="material.model (neo_hookean = per-step "
+                         "matrix-free nonlinear forces, beyond the "
+                         "reference)")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -71,6 +84,16 @@ def main():
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
     cfg.surrogate.stacked = True
     cfg.surrogate.scale_mode = args.scale_mode
+    if args.material:
+        cfg.material.model = args.material
+    if args.arch:
+        cfg.surrogate.arch = args.arch
+    if args.modal:
+        cfg.surrogate.modal_dim = args.modal
+    if args.smooth is not None:
+        cfg.surrogate.pred_smooth = args.smooth
+    if args.no_consensus:
+        cfg.surrogate.pred_consensus = False
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
 
