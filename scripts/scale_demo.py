@@ -121,6 +121,15 @@ def main():
     (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=True, record="none")
     jax.block_until_ready(c)
     exchanged_s = time.perf_counter() - t0
+    # same-footing comm-free run (stage4_online additionally pays full
+    # trajectory recording + host offload + prediction, like stage 1 pays
+    # recording — these two record-none numbers are the per-step contrast)
+    (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=False, record="none")
+    jax.block_until_ready(c)
+    t0 = time.perf_counter()
+    (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=False, record="none")
+    jax.block_until_ready(c)
+    commfree_s = time.perf_counter() - t0
 
     summary = {
         "config": {
@@ -138,6 +147,8 @@ def main():
             "stage4_online": t["stage4"] - t["stage3"],
             "stage5_plot": t["stage5"] - t["stage4"],
             "pure_exchanged_run": exchanged_s,
+            "pure_commfree_run": commfree_s,
+            "commfree_over_exchanged": exchanged_s / commfree_s,
         },
         "metrics": metrics,
     }
