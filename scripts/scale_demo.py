@@ -115,21 +115,32 @@ def main():
     # of the same length (no recording, like a production solve)
     sp, solver = ctx.sp, ctx.solver
     d0 = sp.localize(np.zeros(ctx.prob.ndof, np.float32))
-    (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=True, record="none")
-    jax.block_until_ready(c)
-    t0 = time.perf_counter()
-    (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=True, record="none")
-    jax.block_until_ready(c)
-    exchanged_s = time.perf_counter() - t0
-    # same-footing comm-free run (stage4_online additionally pays full
-    # trajectory recording + host offload + prediction, like stage 1 pays
-    # recording — these two record-none numbers are the per-step contrast)
-    (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=False, record="none")
-    jax.block_until_ready(c)
-    t0 = time.perf_counter()
-    (_, _), c = solver.run(d0, d0, 0.0, args.steps, sync=False, record="none")
-    jax.block_until_ready(c)
-    commfree_s = time.perf_counter() - t0
+    # bounded timing runs (a full-length 100k-step dispatch at 64 parts
+    # crashed the remote TPU worker once the artifacts were already
+    # safe); scale the measured steps back up linearly
+    t_steps = min(args.steps, 20_000)
+    scale = args.steps / t_steps
+
+    def timed(sync):
+        (_, _), c = solver.run(d0, d0, 0.0, t_steps, sync=sync,
+                               record="none")
+        jax.block_until_ready(c)
+        t0 = time.perf_counter()
+        (_, _), c = solver.run(d0, d0, 0.0, t_steps, sync=sync,
+                               record="none")
+        jax.block_until_ready(c)
+        return (time.perf_counter() - t0) * scale
+
+    try:
+        exchanged_s = timed(sync=True)
+        # same-footing comm-free run (stage4_online additionally pays
+        # trajectory recording + host offload + prediction, like stage 1
+        # pays recording — these record-none numbers are the per-step
+        # contrast)
+        commfree_s = timed(sync=False)
+    except Exception as e:  # timing is auxiliary; never lose the summary
+        print(f"[scale_demo] timing runs failed: {e}", flush=True)
+        exchanged_s = commfree_s = float("nan")
 
     summary = {
         "config": {
