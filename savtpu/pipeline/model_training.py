@@ -153,6 +153,17 @@ def _run_expfit(cfg: Config, store: ArtifactStore, n_parts: int,
                 f"modes, train rel {fit_rel:.2e}, held-out rel "
                 f"{val_rel:.2e}"
             )
+        if not info["has_post_segment"] and ramp_end_row < cut and r == 0:
+            # the pencil saw the ramp end but too few autonomous rows
+            # (< max(4*order, 32)) and fell back to the frozen-ramp
+            # model — measured 50x worse than a true two-segment fit at
+            # 192^3 (docs/STATUS_r3.md). More training data fixes it.
+            print(
+                "[model_training] WARNING: expfit post-ramp training "
+                f"rows ({int(cut - ramp_end_row)}) < 4*order — frozen-"
+                "ramp fallback in use; raise surrogate.cut_off or run "
+                "more steps for a proper two-segment fit"
+            )
         save_params(
             store.model_file(r),
             params,
