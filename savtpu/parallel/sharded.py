@@ -1142,6 +1142,13 @@ class ShardedSolver:
             row_bytes = self.sp.n_parts * self.sp.DL * itemsize
             rows = max(1, int(host_traj_budget_bytes // max(row_bytes, 1)))
             chunk_steps = min(num_steps, rows * save_every)
+            # also bound single-dispatch DURATION: a ~6-minute 100k-step
+            # neo-Hookean dispatch reproducibly crashed the remote TPU
+            # worker (watchdog), while the same run in 20k-step chunks
+            # completes (queue_r3i probe). 25k steps keeps the slowest
+            # observed kernel (~280 steps/s) under ~90 s per dispatch;
+            # explicit chunk_steps overrides.
+            chunk_steps = min(chunk_steps, 25_000)
         chunk_steps -= chunk_steps % save_every
         chunk_steps = max(chunk_steps, save_every)
 
