@@ -49,6 +49,10 @@ def main():
                     help="surrogate.modal_dim (PCA mode coefficients)")
     ap.add_argument("--smooth", type=int, default=None,
                     help="surrogate.pred_smooth override")
+    ap.add_argument("--cutoff", type=float, default=None,
+                    help="surrogate.cut_off override (training fraction; "
+                         "raise past 0.5 when the ramp eats the window "
+                         "at fine dt — see docs/STATUS_r3.md 192^3)")
     ap.add_argument("--no-consensus", action="store_true")
     ap.add_argument("--material", type=str, default=None,
                     choices=("linear", "neo_hookean"),
@@ -92,6 +96,8 @@ def main():
         cfg.surrogate.modal_dim = args.modal
     if args.smooth is not None:
         cfg.surrogate.pred_smooth = args.smooth
+    if args.cutoff is not None:
+        cfg.surrogate.cut_off = args.cutoff
     if args.no_consensus:
         cfg.surrogate.pred_consensus = False
     if args.epochs:

@@ -97,3 +97,27 @@ def test_nh_comm_free_and_compensated_run():
     (tc, _), _ = ShardedSolver(sp_c).run(d0, dnl, 0.0, steps, sync=True)
     scale = max(np.abs(np.asarray(ts)).max(), 1e-30)
     assert np.abs(np.asarray(tc) - np.asarray(ts)).max() / scale < 1e-11
+
+
+def test_nh_pipeline_end_to_end(tmp_path):
+    """Full 5-stage sync-avoiding pipeline on the neo-Hookean material
+    (the runs/nh_demo configuration at smoke scale): warm-up equality,
+    finite bounded prediction, artifacts present. Pins the path that
+    produced the 0.92% demo (docs/STATUS_r3.md)."""
+    import numpy as np
+
+    from savtpu.io.artifacts import ArtifactStore, load_displacement
+    from savtpu.pipeline import run_all
+    from test_pipeline import _smoke_cfg
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.material.model = "neo_hookean"
+    run_all.run(cfg, verbose=False)
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    n_sync = cfg.surrogate.i_cri + 1
+    for r in range(2):
+        data = load_displacement(store.dynamics_h5(r))
+        pred = load_displacement(store.modeled_h5(r))
+        assert np.isfinite(pred).all()
+        assert np.allclose(pred[:, :n_sync], data[:, :n_sync], atol=1e-10)
+        assert np.abs(pred).max() < 10 * max(np.abs(data).max(), 1e-12)
