@@ -117,6 +117,8 @@ CASES = [
     (96, 8, 8, 8, "dense", 2000),
     (96, 8, 8, 8, "banded", 2000),
     (96, 8, 8, 8, "pallas", 2000),
+    (96, 8, 8, 16, "banded", 2000),   # the accuracy-study deployment config
+
     (96, 8, 8, 64, "dense", 2000),
     (96, 8, 8, 64, "ell", 2000),
     (192, 12, 12, 64, "banded", 1000),
