@@ -90,6 +90,43 @@ def test_steady_sparse_host_matches_dense():
     assert np.linalg.norm(dd - ds) / np.linalg.norm(dd) < 1e-10
 
 
+def test_steady_device_pcg_matches_dense():
+    """The large-mesh two-level PCG path (device CG + coarse-grid
+    preconditioner + f64 defect correction) must agree with the dense
+    solve. Exercised at small size by dropping the coarse-space gate and
+    target so every branch (trilinear P, Galerkin K_c, Cholesky W,
+    chunked CG, defect rounds) runs in-suite."""
+    from savtpu.solvers.steady import _steady_solve_device_pcg
+
+    mesh = beam_mesh(16, 3, 3, extent=(16.0 / 3.0, 1.0, 1.0))
+    mat = LinearElastic.from_engineering(**MAT, ramped=False)
+    coords = gather_coords(mesh.tetra, mesh.points)
+    edofs = element_dofs(mesh.tetra)
+    _, Ke, Fe = batch_element_mkf(1, 2, mat, 0.0, coords)
+    ddofs = node_to_dof(dirichlet_nodes(mesh.triangles, mesh.points))
+    ndof = mesh.num_dofs
+    dd = np.asarray(steady_solve(Ke, Fe, edofs, ndof, ddofs))
+    x, rel = _steady_solve_device_pcg(
+        Ke, Fe, edofs, ndof, ddofs,
+        points=mesh.points, coarse_min_ndof=0, coarse_target=384,
+    )
+    assert rel < 1e-9
+    assert np.linalg.norm(np.asarray(x) - dd) / np.linalg.norm(dd) < 1e-7
+
+
+def test_steady_device_pcg_jacobi_only():
+    """Without geometry (points=None) the PCG path must still converge via
+    plain Jacobi + defect correction on a small, well-conditioned mesh."""
+    from savtpu.solvers.steady import _steady_solve_device_pcg
+
+    mesh, mat, edofs, Me, Ke, Fe, ddofs = _small_problem()
+    ndof = mesh.num_dofs
+    dd = np.asarray(steady_solve(Ke, Fe, edofs, ndof, ddofs))
+    x, rel = _steady_solve_device_pcg(Ke, Fe, edofs, ndof, ddofs)
+    assert rel < 1e-9
+    assert np.linalg.norm(np.asarray(x) - dd) / np.linalg.norm(dd) < 1e-7
+
+
 def test_explicit_matches_oracle_trajectory():
     cfg = Config()
     cfg.beam_cells = (4, 1, 1)
