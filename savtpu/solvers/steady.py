@@ -31,17 +31,22 @@ def steady_solve(Ke, Fe, edofs, ndof: int, dirichlet_dofs, points=None):
         F = assemble_vector(Fe, edofs, ndof)
         K, F = apply_dirichlet_dense(K, F, dirichlet_dofs)
         return jnp.linalg.solve(K, F)
-    x, rel = _steady_solve_device_pcg(
+    x, rel = _steady_solve_pcg(
         Ke, Fe, edofs, ndof, dirichlet_dofs, points=points
     )
-    if rel <= 1e-8:
+    # Accept anything at or below the f64 conditioning floor: the
+    # attainable residual of ANY f64 solve (iterative or LU) is
+    # ~eps_f64*kappa(K) — at 384x16x16 (kappa ~ 5e8) that is ~1e-7, and
+    # falling back to the 27-min SuperLU cannot beat it. 1e-6 matches
+    # the framework's parity north star (BASELINE.md).
+    if rel <= 1e-6:
         return x
     # PCG stagnated (pathological conditioning) — fall back to the host
     # sparse direct factorization, accuracy over speed.
     return _steady_solve_sparse_host(Ke, Fe, edofs, ndof, dirichlet_dofs)
 
 
-def _steady_solve_device_pcg(
+def _steady_solve_pcg(
     Ke,
     Fe,
     edofs,
@@ -49,91 +54,86 @@ def _steady_solve_device_pcg(
     dirichlet_dofs,
     points=None,
     rtol: float = 1e-10,
-    rounds: int = 8,
-    maxiter: int = 30_000,
+    maxiter: int = 20_000,
     coarse_target: int = 4096,
     coarse_min_ndof: int = 20_000,
     verbose: bool = False,
 ):
-    """Two-level PCG on the accelerator + f64 defect correction.
+    """Two-level preconditioned CG for the once-per-run steady solve.
 
-    The once-per-run steady solve is the setup whale at scale: host SuperLU
-    on the 384x16x16 beam (334k DOFs) takes ~27 min on this machine, 70% of
-    total setup. The TPU-native replacement runs CG entirely on the device
-    with the element-by-element operator (gather -> batched element matvec
-    -> segment_sum; no global matrix is ever formed), preconditioned by
+    The steady solve is the setup whale at scale: host SuperLU on the
+    384x16x16 beam (334k DOFs) takes ~27 min on this machine, 70% of
+    total setup. This replaces the factorization with CG on the
+    assembled sparse operator, preconditioned by
 
         M^-1 = D^-1 + P K_c^-1 P^T        (additive two-level Schwarz)
 
-    where P is trilinear interpolation from a regular coarse grid laid over
-    the mesh bounding box (geometry-only — no mesh structure assumed) and
-    K_c = P^T A P is the Galerkin coarse matrix, built on-device by applying
-    the EBE operator to batched coarse basis columns and factorized once on
-    the host in f64 (<= ``coarse_target`` DOFs — the same size class as the
-    reference's own dense LAPACK solves). The coarse space carries the slow
-    bending modes of the slender beam that make plain Jacobi-CG stall
-    (kappa ~ (L/t)^2 (L/h)^2); with it the iteration count drops to O(100).
+    where P is trilinear interpolation from a regular coarse grid laid
+    over the mesh bounding box (geometry-only -- no mesh structure
+    assumed) and K_c = P^T K P is the Galerkin coarse matrix, Cholesky-
+    factorized once (<= ``coarse_target`` DOFs -- the same size class as
+    the reference's dense LAPACK solves). The coarse space carries the
+    slow bending modes of the slender beam that make plain Jacobi-CG
+    stall (kappa ~ (L/t)^2 (L/h)^2); with it the iteration count drops
+    to O(100) and the 27-min solve to ~2 min.
 
-    f64-grade accuracy comes from defect correction: the residual
-    r = F - K x is recomputed on the host in float64 between CG rounds and
-    the device solves the (rescaled) correction system in f32. Returns
-    ``(x, final_rel_residual)`` — the caller falls back to the host direct
-    solve if PCG stagnated above tolerance.
+    The ITERATION runs on the host in float64, deliberately. A TPU f32
+    implementation (EBE matvec on the MXU, chunked device CG, f64 defect
+    correction between rounds) was built first and is precision-
+    infeasible at the scale that motivates PCG at all: the relative
+    residual floor of CG in finite precision is ~eps*kappa(K), and at
+    384x16x16 kappa ~ 5e8 puts the f32 floor at ~30 -- the measured
+    stall was rel-resid 32 from any starting point, with the recursive
+    residual meaninglessly telescoping to 1e-15. No preconditioner fixes
+    arithmetic: the coarse directions the solve must resolve are born
+    below f32 rounding of the matvec. (At 96x8x8, kappa is 64x smaller
+    and the same device loop converged -- borderline, not robust.) Setup
+    host work in f64 matches the reference's own rank-0 LAPACK posture.
 
     BC treatment identical to the direct path (Steady_solvers.py:16-21):
     rows/cols of Dirichlet DOFs zeroed, unit diagonal, zero rhs.
+    Returns ``(x, final_rel_residual)`` -- the caller falls back to the
+    host direct solve if PCG stagnated above tolerance.
     """
-    import numpy as np_
-    import jax
-    from jax import lax
+    import time as _time
 
-    ed = np_.asarray(edofs)
+    import numpy as np_
+    import scipy.sparse as sps
+    from scipy.linalg import cho_factor, cho_solve
+
+    t0 = _time.perf_counter()
+    ed = np_.asarray(edofs, dtype=np_.int32)  # int32 halves the COO sort
     Ke64 = np_.asarray(Ke, dtype=np_.float64)
-    # host f64 reference data: rhs, Dirichlet mask, Jacobi diagonal
-    F64 = np_.zeros(ndof)
-    np_.add.at(F64, ed.reshape(-1), np_.asarray(Fe, np_.float64).reshape(-1))
+    if verbose:
+        print(
+            f"[pcg] Ke device->host {_time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+    nb3 = ed.shape[1]
+    rows = np_.repeat(ed, nb3, axis=1).reshape(-1)
+    cols = np_.tile(ed, (1, nb3)).reshape(-1)
+    Ksp = sps.coo_matrix(
+        (Ke64.reshape(-1), (rows, cols)), shape=(ndof, ndof)
+    ).tocsr()
     keep64 = np_.ones(ndof)
     keep64[np_.asarray(dirichlet_dofs)] = 0.0
+    Dk = sps.diags(keep64)
+    Ksp = Dk @ Ksp @ Dk + sps.diags(1.0 - keep64)
+    F64 = np_.zeros(ndof)
+    np_.add.at(F64, ed.reshape(-1), np_.asarray(Fe, np_.float64).reshape(-1))
     F64 *= keep64
-    diag64 = np_.zeros(ndof)
-    nb3 = ed.shape[1]
-    diag_e = Ke64[:, np_.arange(nb3), np_.arange(nb3)]
-    np_.add.at(diag64, ed.reshape(-1), diag_e.reshape(-1))
-    diag64 = keep64 * diag64 + (1.0 - keep64)  # unit diagonal on BC rows
-
-    def matvec64(x):
-        d_e = (x * keep64)[ed]
-        f_e = np_.einsum("eij,ej->ei", Ke64, d_e)
-        out = np_.zeros(ndof)
-        np_.add.at(out, ed.reshape(-1), f_e.reshape(-1))
-        return keep64 * out + (1.0 - keep64) * x
-
-    # device arrays (run dtype of Ke — f32 on TPU, f64 under x64/CPU).
-    # Everything sizable is passed to the jitted functions through the
-    # ``consts`` pytree ARGUMENT, never closure-captured: captured arrays
-    # get embedded into the HLO as literals, and at 590k elements the
-    # 340 MB element-stiffness constant overflows the remote-compile
-    # request (HTTP 413 over the TPU tunnel).
-    dev_dtype = jnp.asarray(Ke).dtype
-    consts = {
-        "Ke": jnp.asarray(Ke),
-        "ed": jnp.asarray(ed, dtype=jnp.int32),
-        "keep": jnp.asarray(keep64, dtype=dev_dtype),
-        "invdiag": jnp.asarray(1.0 / diag64, dtype=dev_dtype),
-    }
-
-    def A(x, c):
-        keep_d = c["keep"]
-        xm = x * keep_d
-        f_e = jnp.sum(c["Ke"] * xm[c["ed"]][:, None, :], axis=-1)
-        out = jax.ops.segment_sum(
-            f_e.reshape(-1), c["ed"].reshape(-1), num_segments=ndof
+    invdiag = 1.0 / Ksp.diagonal()
+    if verbose:
+        print(
+            f"[pcg] sparse K assembly {_time.perf_counter() - t0:.1f}s "
+            f"nnz={Ksp.nnz}",
+            flush=True,
         )
-        return keep_d * out + (1.0 - keep_d) * x
 
     # ---- two-level coarse space (geometry-only trilinear coarsening) ----
     apply_coarse = None
     if points is not None and ndof > coarse_min_ndof:
+        t0 = _time.perf_counter()
         pts = np_.asarray(points, dtype=np_.float64)
         lo, hi = pts.min(axis=0), pts.max(axis=0)
         span = np_.maximum(hi - lo, 1e-12)
@@ -167,245 +167,102 @@ def _steady_solve_device_pcg(
             * wxyz[:, 1, corners[:, 1]]
             * wxyz[:, 2, corners[:, 2]]
         )  # (Nf, 8)
-        consts["cidx"] = jnp.asarray(cidx, dtype=jnp.int32)
-        consts["w"] = jnp.asarray(w, dtype=dev_dtype)
-
-        def P_apply(xc, c):  # (n_coarse, 3) -> (ndof,)
-            # precision=HIGHEST: einsum lowers to an MXU dot whose default
-            # single-bf16-pass product injects O(1e-2) relative error —
-            # enough to make the preconditioner indefinite and blow up CG
-            # (third instance of this failure mode: ops/precision.py,
-            # models/linear.py)
-            xf = jnp.einsum(
-                "nk,nkc->nc", c["w"], xc[c["cidx"]], precision=_HIGHEST
-            )
-            return xf.reshape(-1)
-
-        def Pt_apply(r, c):  # (ndof,) -> (n_coarse, 3)
-            rn = r.reshape(-1, 3)
-            contrib = c["w"][:, :, None] * rn[:, None, :]  # (Nf, 8, 3)
-            return jax.ops.segment_sum(
-                contrib.reshape(-1, 3),
-                c["cidx"].reshape(-1),
-                num_segments=n_coarse,
-            )
-
-        # Galerkin coarse matrix K_c = P~^T A P~ built on-device in
-        # batched column chunks (the EBE matvec batches on the MXU)
-        def A_mat(X, c):  # (ndof, m)
-            keep_d = c["keep"]
-            Xm = X * keep_d[:, None]
-            d_e = Xm[c["ed"]]  # (E, 3nb, m)
-            f_e = jnp.einsum(
-                "eij,ejm->eim", c["Ke"], d_e, precision=_HIGHEST
-            )
-            out = jax.ops.segment_sum(
-                f_e.reshape(-1, X.shape[1]),
-                c["ed"].reshape(-1),
-                num_segments=ndof,
-            )
-            return keep_d[:, None] * out + (1.0 - keep_d)[:, None] * X
-
-        @jax.jit
-        def kc_chunk(eye_chunk, c):  # (n_coarse*3, m) coarse identity
-            cols = jax.vmap(
-                lambda e: P_apply(e.reshape(n_coarse, 3), c), out_axes=1
-            )(eye_chunk.T)
-            Y = A_mat(cols, c)
-            return jax.vmap(
-                lambda y: Pt_apply(y, c).reshape(-1), in_axes=1
-            )(Y).T
-
         nc_dof = 3 * n_coarse
-        m = 64
-        if verbose:
-            import time as _time
-
-            print(
-                f"[pcg] coarse grid {ncx}x{ncy}x{ncz} nc_dof={nc_dof}",
-                flush=True,
-            )
-            _t0 = _time.perf_counter()
-        Kc = np_.zeros((nc_dof, nc_dof))
-        for s in range(0, nc_dof, m):
-            e = min(s + m, nc_dof)
-            eye = np_.zeros((nc_dof, m), dtype=np_.float32)
-            eye[np_.arange(s, e), np_.arange(e - s)] = 1.0
-            blk = np_.asarray(
-                kc_chunk(jnp.asarray(eye, dtype=dev_dtype), consts),
-                dtype=np_.float64,
-            )
-            Kc[:, s:e] = blk[:, : e - s]
-        if verbose:
-            print(
-                f"[pcg] Kc build {_time.perf_counter() - _t0:.1f}s",
-                flush=True,
-            )
-            _t0 = _time.perf_counter()
-        if verbose:
-            asym = np_.linalg.norm(Kc - Kc.T) / max(
-                np_.linalg.norm(Kc), 1e-30
-            )
-            print(f"[pcg] Kc asymmetry {asym:.2e}", flush=True)
+        Nf = pts.shape[0]
+        rP = np_.broadcast_to(
+            3 * np_.arange(Nf)[:, None, None] + np_.arange(3)[None, None, :],
+            (Nf, 8, 3),
+        ).reshape(-1)
+        cP = (3 * cidx[:, :, None] + np_.arange(3)[None, None, :]).reshape(-1)
+        vP = np_.broadcast_to(w[:, :, None], (Nf, 8, 3)).reshape(-1)
+        Pmat = sps.coo_matrix(
+            (vP, (rP, cP)), shape=(ndof, nc_dof)
+        ).tocsr()
+        Kc = (Pmat.T @ (Ksp @ Pmat)).toarray()
         Kc = 0.5 * (Kc + Kc.T)
-        # The coarse inverse must stay SPD under f32 rounding: a rounded
-        # explicit inverse can be INDEFINITE (perturbation ~eps*kappa in
-        # the small eigenvalues), which breaks CG. Apply it as W (W^T r)
-        # — PSD by construction in any precision — with W = L^{-T} from a
-        # host f64 Cholesky K_c = L L^T (a small diagonal jitter absorbs
-        # the f32 build noise and gives unsupported coarse nodes a
-        # decoupled eps diagonal; their residual components are exact
-        # zeros so they never activate). Falls back to a truncated
-        # eigenfactorization if Cholesky keeps failing.
-        W = None
+        # Coarse grid nodes whose trilinear support contains no fine
+        # node (possible when fine nodes align exactly with coarse
+        # gridlines) give zero rows -- a small diagonal jitter decouples
+        # them; their residual components are exact zeros so they never
+        # activate. The ladder absorbs any residual semi-definiteness.
         diag_scale = max(float(np_.trace(Kc)) / nc_dof, 1e-30)
-        for jit_eps in (1e-10, 1e-7, 1e-4):
+        factor = None
+        for jit_eps in (1e-12, 1e-9, 1e-6):
             try:
-                from scipy.linalg import cholesky as _chol
-                from scipy.linalg import lapack as _lapack
-
                 Kc_j = Kc.copy()
                 Kc_j[np_.arange(nc_dof), np_.arange(nc_dof)] += (
                     jit_eps * diag_scale
                 )
-                L = _chol(Kc_j, lower=True)
-                Linv, info = _lapack.dtrtri(L, lower=1)
-                if info != 0:
-                    continue
-                W = Linv.T
+                factor = cho_factor(Kc_j, lower=True)
                 break
             except np_.linalg.LinAlgError:
                 continue
-        if W is None:  # pragma: no cover - pathological build noise
+        if factor is None:  # pragma: no cover - pathological build noise
             lam, V = np_.linalg.eigh(Kc)
             lam_max = float(lam[-1]) if len(lam) else 1.0
             keep_modes = lam > 1e-12 * max(lam_max, 1e-30)
             W = V[:, keep_modes] / np_.sqrt(lam[keep_modes])
-        if verbose:
-            print(f"[pcg] coarse factor W {W.shape}", flush=True)
-        consts["W"] = jnp.asarray(W, dtype=dev_dtype)
 
-        def apply_coarse(r, c):
-            rc = Pt_apply(r, c).reshape(-1)
-            yc = jnp.dot(c["W"].T, rc, precision=_HIGHEST)
-            zc = jnp.dot(c["W"], yc, precision=_HIGHEST)
-            return P_apply(zc.reshape(n_coarse, 3), c)
+            def apply_coarse(r):
+                return Pmat @ (W @ (W.T @ (Pmat.T @ r)))
+
+        else:
+
+            def apply_coarse(r):
+                return Pmat @ cho_solve(factor, Pmat.T @ r)
+
+        if verbose:
+            print(
+                f"[pcg] coarse grid {ncx}x{ncy}x{ncz} nc_dof={nc_dof} "
+                f"built+factored {_time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
 
     if apply_coarse is None:
-        Minv = lambda r, c: r * c["invdiag"]
+        Minv = lambda r: r * invdiag
     else:
-        Minv = lambda r, c: r * c["invdiag"] + apply_coarse(r, c)
+        Minv = lambda r: r * invdiag + apply_coarse(r)
 
-    if verbose:  # self-check: device operator vs host f64, symmetry
-        rng = np_.random.default_rng(0)
-        u = rng.standard_normal(ndof)
-        v = rng.standard_normal(ndof)
-        u_d = jnp.asarray(u, dtype=dev_dtype)
-        v_d = jnp.asarray(v, dtype=dev_dtype)
-        Au_d = np_.asarray(A(u_d, consts), np_.float64)
-        Au_h = matvec64(u)
-        Av_d = np_.asarray(A(v_d, consts), np_.float64)
-        Mu = np_.asarray(Minv(u_d, consts), np_.float64)
-        Mv = np_.asarray(Minv(v_d, consts), np_.float64)
-        print(
-            f"[pcg] check |A_dev-A_host|/|A_host|="
-            f"{np_.linalg.norm(Au_d - Au_h) / np_.linalg.norm(Au_h):.2e}"
-            f"  <u,Av>/<Au,v>-1={u @ Av_d / (Au_d @ v) - 1:.2e}"
-            f"  <u,Mv>/<Mu,v>-1={u @ Mv / (Mu @ v) - 1:.2e}"
-            f"  <u,Mu>={u @ Mu:.3e}",
-            flush=True,
-        )
-        vd = float(jnp.vdot(u_d, v_d))
-        print(
-            f"[pcg] check vdot rel err={abs(vd - u @ v) / abs(u @ v):.2e}",
-            flush=True,
-        )
-
-    # PCG with exact state carried across bounded dispatches: one long
-    # while_loop dispatch reproducibly crashes the remote TPU worker (the
-    # same fault as >25k-step solver dispatches, docs/STATUS_r3.md), so
-    # each jit call runs a fixed fori_loop chunk of iterations and the
-    # host loop re-dispatches from the returned (x, r, z, p, rz) state —
-    # mathematically identical to unchunked CG, unlike a restarted CG.
-    chunk = 250
-
-    @jax.jit
-    def pcg_chunk(state, c):
-        def body(_, s):
-            x, r, z, p, rz, done = s
-            Ap = A(p, c)
-            pAp = jnp.vdot(p, Ap)
-            # TOTAL freeze once converged/stalled inside the fixed chunk:
-            # rz/pAp underflow to 0 when f32 convergence bottoms out, and
-            # resuming with ANY recomputed quantity against a stale rz
-            # takes garbage steps that blow the residual up exponentially
-            # (observed 1e18 in one 250-iteration chunk) — so past `done`,
-            # every carry component is held exactly as-is.
-            done = done | ~jnp.isfinite(pAp) | (pAp <= 0.0) | (rz <= 0.0)
-            safe = lambda q: jnp.where(done, 1.0, q)
-            alpha = jnp.where(done, 0.0, rz / safe(pAp))
-            x = x + alpha * p
-            r_new = jnp.where(done, r, r - alpha * Ap)
-            z_new = jnp.where(done, z, Minv(r_new, c))
-            rz_new = jnp.vdot(r_new, z_new)
-            beta = jnp.where(done, 0.0, rz_new / safe(rz))
-            p_new = jnp.where(done, p, z_new + beta * p)
-            return (
-                x,
-                r_new,
-                z_new,
-                p_new,
-                jnp.where(done, rz, rz_new),
-                done,
-            )
-
-        return lax.fori_loop(0, chunk, body, state)
-
-    def cg_round(rhs, inner_tol=1e-7):
-        x0 = jnp.zeros_like(rhs)
-        z0 = Minv(rhs, consts)
-        state = (x0, rhs, z0, z0, jnp.vdot(rhs, z0),
-                 jnp.asarray(False))
-        nb = float(np_.linalg.norm(np_.asarray(rhs, np_.float64)))
-        prev = np_.inf
-        for _ in range(max(1, maxiter // chunk)):
-            state = pcg_chunk(state, consts)
-            rn = float(
-                np_.linalg.norm(np_.asarray(state[1], np_.float64))
-            )
-            if verbose:
-                print(f"[pcg]   chunk rel={rn / nb:.3e}", flush=True)
-            if not np_.isfinite(rn) or rn <= inner_tol * nb:
-                break
-            if bool(np_.asarray(state[5])):  # frozen: f32 floor reached
-                break
-            if rn > 0.97 * prev:  # f32 stagnation — defect-correct instead
-                break
-            prev = rn
-        return state[0]
-
+    # standard host-f64 PCG; the recursive residual is trustworthy here
+    # (periodic true-residual refresh guards the long tail regardless)
     x = np_.zeros(ndof)
-    nF = np_.linalg.norm(F64)
+    r = F64.copy()
+    nF = float(np_.linalg.norm(F64))
+    if nF == 0.0:
+        return jnp.asarray(x, dtype=jnp.asarray(Ke).dtype), 0.0
+    z = Minv(r)
+    p = z.copy()
+    rz = float(r @ z)
     rel = 1.0
-    for _ in range(rounds):
-        r = F64 - matvec64(x)
+    t0 = _time.perf_counter()
+    for it in range(maxiter):
+        Ap = Ksp @ p
+        pAp = float(p @ Ap)
+        if not np_.isfinite(pAp) or pAp <= 0.0:
+            break
+        alpha = rz / pAp
+        x += alpha * p
+        r -= alpha * Ap
+        if (it + 1) % 200 == 0:
+            r = F64 - Ksp @ x  # refresh against recursion drift
         rel = float(np_.linalg.norm(r) / nF)
-        if verbose:
-            print(f"[pcg] round rel-resid={rel:.3e}", flush=True)
+        if verbose and (it + 1) % 100 == 0:
+            print(f"[pcg]   it {it + 1} rel={rel:.3e}", flush=True)
         if rel <= rtol:
             break
-        # rescale the correction system to O(1) so f32 CG keeps full
-        # significand resolution regardless of how small r has become
-        s = float(np_.linalg.norm(r))
-        z = cg_round(jnp.asarray(r / s, dtype=dev_dtype))
-        x_new = x + s * np_.asarray(z, dtype=np_.float64)
-        rel_new = float(
-            np_.linalg.norm(F64 - matvec64(x_new)) / nF
+        z = Minv(r)
+        rz_new = float(r @ z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    rel = float(np_.linalg.norm(F64 - Ksp @ x) / nF)
+    if verbose:
+        print(
+            f"[pcg] {it + 1} iterations, rel={rel:.3e}, "
+            f"{_time.perf_counter() - t0:.1f}s",
+            flush=True,
         )
-        if not np_.isfinite(rel_new) or rel_new >= rel:
-            break  # round made things worse — keep x, caller may fall back
-        x, rel = x_new, rel_new
-    return jnp.asarray(x, dtype=dev_dtype), rel
+    return jnp.asarray(x, dtype=jnp.asarray(Ke).dtype), rel
+
 
 
 def _steady_solve_sparse_host(Ke, Fe, edofs, ndof, dirichlet_dofs):

@@ -96,7 +96,7 @@ def test_steady_device_pcg_matches_dense():
     solve. Exercised at small size by dropping the coarse-space gate and
     target so every branch (trilinear P, Galerkin K_c, Cholesky W,
     chunked CG, defect rounds) runs in-suite."""
-    from savtpu.solvers.steady import _steady_solve_device_pcg
+    from savtpu.solvers.steady import _steady_solve_pcg
 
     mesh = beam_mesh(16, 3, 3, extent=(16.0 / 3.0, 1.0, 1.0))
     mat = LinearElastic.from_engineering(**MAT, ramped=False)
@@ -106,7 +106,7 @@ def test_steady_device_pcg_matches_dense():
     ddofs = node_to_dof(dirichlet_nodes(mesh.triangles, mesh.points))
     ndof = mesh.num_dofs
     dd = np.asarray(steady_solve(Ke, Fe, edofs, ndof, ddofs))
-    x, rel = _steady_solve_device_pcg(
+    x, rel = _steady_solve_pcg(
         Ke, Fe, edofs, ndof, ddofs,
         points=mesh.points, coarse_min_ndof=0, coarse_target=384,
     )
@@ -117,12 +117,12 @@ def test_steady_device_pcg_matches_dense():
 def test_steady_device_pcg_jacobi_only():
     """Without geometry (points=None) the PCG path must still converge via
     plain Jacobi + defect correction on a small, well-conditioned mesh."""
-    from savtpu.solvers.steady import _steady_solve_device_pcg
+    from savtpu.solvers.steady import _steady_solve_pcg
 
     mesh, mat, edofs, Me, Ke, Fe, ddofs = _small_problem()
     ndof = mesh.num_dofs
     dd = np.asarray(steady_solve(Ke, Fe, edofs, ndof, ddofs))
-    x, rel = _steady_solve_device_pcg(Ke, Fe, edofs, ndof, ddofs)
+    x, rel = _steady_solve_pcg(Ke, Fe, edofs, ndof, ddofs)
     assert rel < 1e-9
     assert np.linalg.norm(np.asarray(x) - dd) / np.linalg.norm(dd) < 1e-7
 
