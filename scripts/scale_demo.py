@@ -47,6 +47,8 @@ def main():
                     help="surrogate architecture (default: config lstm)")
     ap.add_argument("--modal", type=int, default=0,
                     help="surrogate.modal_dim (PCA mode coefficients)")
+    ap.add_argument("--order", type=int, default=None,
+                    help="surrogate.expfit_order for --arch expfit")
     ap.add_argument("--smooth", type=int, default=None,
                     help="surrogate.pred_smooth override")
     ap.add_argument("--cutoff", type=float, default=None,
@@ -94,6 +96,8 @@ def main():
         cfg.surrogate.arch = args.arch
     if args.modal:
         cfg.surrogate.modal_dim = args.modal
+    if args.order is not None:
+        cfg.surrogate.expfit_order = args.order
     if args.smooth is not None:
         cfg.surrogate.pred_smooth = args.smooth
     if args.cutoff is not None:
