@@ -27,6 +27,8 @@ targets point at a dummy DOF slot (index DL-1) that is zeroed every step.
 
 from __future__ import annotations
 
+import time
+
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -1137,17 +1139,21 @@ class ShardedSolver:
         ``host_traj_budget_bytes`` (rounded to a multiple of save_every)."""
         if num_steps % save_every:
             raise ValueError("num_steps must be divisible by save_every")
-        if chunk_steps is None:
+        adaptive = chunk_steps is None
+        if adaptive:
             itemsize = np.dtype(self.sp.lM.dtype).itemsize
             row_bytes = self.sp.n_parts * self.sp.DL * itemsize
             rows = max(1, int(host_traj_budget_bytes // max(row_bytes, 1)))
             chunk_steps = min(num_steps, rows * save_every)
-            # also bound single-dispatch DURATION: a ~6-minute 100k-step
-            # neo-Hookean dispatch reproducibly crashed the remote TPU
-            # worker (watchdog), while the same run in 20k-step chunks
-            # completes (queue_r3i probe). 25k steps keeps the slowest
-            # observed kernel (~280 steps/s) under ~90 s per dispatch;
-            # explicit chunk_steps overrides.
+            # also bound single-dispatch DURATION: long dispatches
+            # reproducibly crash the remote TPU worker (watchdog) — a
+            # ~6-minute 100k-step neo-Hookean dispatch died while the
+            # same run in 20k-step chunks completed (queue_r3i probe),
+            # and a fixed 25k-step cap calibrated at ~280 steps/s died
+            # again at 384x16x16/256 parts where per-step cost is ~16x.
+            # So the cap is SELF-CALIBRATED below: two small probe
+            # dispatches (the second past compilation) measure the real
+            # step rate and the remaining chunks target ~60 s each.
             chunk_steps = min(chunk_steps, 25_000)
         chunk_steps -= chunk_steps % save_every
         chunk_steps = max(chunk_steps, save_every)
@@ -1168,14 +1174,35 @@ class ShardedSolver:
 
         carry = (d0, dn, jnp.asarray(t0))
         done = 0
+        # probe plan: two small dispatches first (the second one runs the
+        # already-compiled program, so its wall time is a clean rate
+        # measurement), then re-size chunk_steps for the remainder
+        probe_steps = 0
+        if adaptive and num_steps > 4 * chunk_steps and chunk_steps > save_every:
+            probe_steps = max(save_every, min(1000, chunk_steps // 4))
+            probe_steps -= probe_steps % save_every
+        n_dispatch = 0
         while done < num_steps:
             n = min(chunk_steps, num_steps - done)
+            if probe_steps and n_dispatch < 2:
+                n = min(probe_steps, num_steps - done)
             pc = None if preds is None else preds[:, done : done + n]
             d0c, dnc, tc = carry
+            t_disp = time.perf_counter()
             (traj_c, shared_c), carry = self.run(
                 d0c, dnc, tc, n,
                 sync=sync, preds=pc, record=record, save_every=save_every,
             )
+            jax.block_until_ready(carry)
+            dt_disp = time.perf_counter() - t_disp
+            if probe_steps and n_dispatch == 1:
+                # target ~60 s per dispatch (well under the remote
+                # worker's watchdog), never exceeding the memory cap
+                rate = n / max(dt_disp, 1e-6)
+                sized = int(rate * 60.0)
+                sized -= sized % save_every
+                chunk_steps = max(save_every, min(chunk_steps, sized))
+            n_dispatch += 1
             if traj_h is not None:
                 lo = done // save_every
                 traj_h[:, lo : lo + n // save_every] = np.asarray(traj_c)
