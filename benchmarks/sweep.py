@@ -123,12 +123,15 @@ CASES = [
     (96, 8, 8, 64, "ell", 2000),
     (192, 12, 12, 64, "banded", 1000),
     (192, 12, 12, 256, "dense", 1000),
-    (384, 16, 16, 256, "banded", 500),  # 590k tets on one chip
+    # 3000 steps: at 500 the ~5 ms fixed cost of each of the 256
+    # sequential pallas grid programs dominates (measured 313
+    # steps/s vs ~1.5k amortized)
+    (384, 16, 16, 256, "banded", 3000),  # 590k tets on one chip
     # exchanged-path halo variants (psum vs neighbor-packed permute)
     (48, 4, 4, 8, "dense", 5000, "permute"),
     (96, 8, 8, 64, "dense", 2000, "permute"),
     (192, 12, 12, 64, "banded", 1000, "permute"),
-    (384, 16, 16, 256, "banded", 500, "permute"),
+    (384, 16, 16, 256, "banded", 2000, "permute"),
     # compensated (double-word f32) overhead check at two scales
     (48, 4, 4, 8, "dense", 5000, "psum", True),
     (192, 12, 12, 64, "banded", 1000, "psum", True),

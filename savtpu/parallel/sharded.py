@@ -1178,9 +1178,11 @@ class ShardedSolver:
         # already-compiled program, so its wall time is a clean rate
         # measurement), then re-size chunk_steps for the remainder
         probe_steps = 0
-        if adaptive and num_steps > 4 * chunk_steps and chunk_steps > save_every:
+        if adaptive and chunk_steps > save_every:
             probe_steps = max(save_every, min(1000, chunk_steps // 4))
             probe_steps -= probe_steps % save_every
+            if num_steps <= 3 * probe_steps:
+                probe_steps = 0
         n_dispatch = 0
         while done < num_steps:
             n = min(chunk_steps, num_steps - done)
@@ -1196,10 +1198,11 @@ class ShardedSolver:
             jax.block_until_ready(carry)
             dt_disp = time.perf_counter() - t_disp
             if probe_steps and n_dispatch == 1:
-                # target ~60 s per dispatch (well under the remote
-                # worker's watchdog), never exceeding the memory cap
+                # target ~45 s per dispatch: the remote worker's
+                # watchdog killed a 71 s dispatch at 384^3/256 while
+                # 60 s chunks survived — keep real margin below that
                 rate = n / max(dt_disp, 1e-6)
-                sized = int(rate * 60.0)
+                sized = int(rate * 45.0)
                 sized -= sized % save_every
                 chunk_steps = max(save_every, min(chunk_steps, sized))
             n_dispatch += 1

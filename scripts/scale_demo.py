@@ -132,12 +132,15 @@ def main():
     scale = args.steps / t_steps
 
     def timed(sync):
-        (_, _), c = solver.run(d0, d0, 0.0, t_steps, sync=sync,
-                               record="none")
+        # run_streamed chunks the dispatches adaptively (probe two small
+        # dispatches, then ~45 s chunks) — a single 20k-step exchanged
+        # dispatch at 384^3/256 tripped the remote worker's watchdog
+        (_, _), c = solver.run_streamed(d0, d0, 0.0, t_steps, sync=sync,
+                                        record="none")
         jax.block_until_ready(c)
         t0 = time.perf_counter()
-        (_, _), c = solver.run(d0, d0, 0.0, t_steps, sync=sync,
-                               record="none")
+        (_, _), c = solver.run_streamed(d0, d0, 0.0, t_steps, sync=sync,
+                                        record="none")
         jax.block_until_ready(c)
         return (time.perf_counter() - t0) * scale
 
