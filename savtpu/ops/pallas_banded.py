@@ -194,3 +194,186 @@ def pallas_scan_comm_free_banded(
 
     t_final = jnp.asarray(t0, dtype) + num_steps * jnp.asarray(dt, dtype)
     return unfit(d0f), unfit(dnf), t_final
+
+
+# ---------------------------------------------------------------------------
+# Online (production) variant: compensated double-word state + per-step
+# prediction overwrite + full-rate state recording, band in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def online_scan_vmem_bytes(nc, Bk, DLB, Tc, itemsize) -> int:
+    """Per-grid-program resident set of the online kernel: one part's
+    band blocks, the dense pred rows + recorded state rows for the
+    sub-chunk, and ~16 coefficient/state vectors."""
+    return itemsize * (2 * nc * Bk * Bk + 2 * Tc * DLB + 16 * DLB + 16 * 8 * DLB // 8)
+
+
+def _online_kernel(
+    scal_ref,    # SMEM (8,): t0, dt, alpha, ramped, c1, c2, i0, unused
+    Kd_ref,      # VMEM (1, nc, Bk, Bk)
+    Kl_ref,      # VMEM (1, nc, Bk, Bk)
+    hi_ref,      # VMEM (1, 1, DLB) compensated hi word
+    lo_ref,      # VMEM (1, 1, DLB) compensated lo word
+    v_ref,       # VMEM (1, 1, DLB) last applied increment
+    Fp_ref,      # VMEM (1, 1, DLB)
+    lM_ref,      # VMEM (1, 1, DLB)
+    bc_ref,      # VMEM (1, 1, DLB)
+    mc_ref,      # VMEM (1, 1, DLB) 1 on this part's valid shared slots
+    csel_ref,    # VMEM (1, 8, DLB) rows 0-2: dof_mask * [j%3 == c]
+    preds_ref,   # VMEM (1, Tc, DLB) dense pred rows (0 off-shared)
+    hi_out,      # VMEM (1, 1, DLB)
+    lo_out,      # VMEM (1, 1, DLB)
+    v_out,       # VMEM (1, 1, DLB)
+    states_out,  # VMEM (1, Tc, DLB) d1 (hi word) of every step
+    *,
+    num_steps: int,
+    nc: int,
+    Bk: int,
+):
+    """Mirrors the compensated branch of ShardedProblem.stacked_run
+    (parallel/sharded.py: incremental update + TwoSum state roll +
+    translation-mean matvec centering + per-step shared-DOF overwrite,
+    reference semantics Online_predictor.py:298) with the band pinned in
+    VMEM. The overwrite works on DENSE masked rows instead of gathered
+    compact rows — elementwise arithmetic at each shared slot is
+    identical to the scan path's gather/scatter form."""
+    t0 = scal_ref[0]
+    dt = scal_ref[1]
+    ramped = scal_ref[3]
+    c1 = scal_ref[4]
+    c2 = scal_ref[5]
+    i0 = scal_ref[6]
+    Fp = Fp_ref[0, 0, :]
+    lM = lM_ref[0, 0, :]
+    bc = bc_ref[0, 0, :]
+    mc = mc_ref[0, 0, :]
+    csel = csel_ref[0]                       # (8, DLB)
+    counts = jnp.maximum(
+        jnp.sum(csel, axis=1, keepdims=True), 1.0
+    )                                        # (8, 1)
+    one = jnp.asarray(1.0, Fp.dtype)
+    dn_t = (((1,), (1,)), ((), ()))
+    # Mosaic requires rank-2 dot operands: contract (8, DLB)x(1, DLB)
+    # -> (8, 1) for the component sums, (8, 1)x(8, DLB) -> (1, DLB)
+    # for the tiled reconstruction
+    sum_t = (((1,), (1,)), ((), ()))
+    rec_t = (((0,), (0,)), ((), ()))
+
+    def band_matvec(x):  # (DLB,) -> (DLB,)
+        xr = x[None, :]
+        chunks = []
+        for c in range(nc):
+            x_c = xr[:, c * Bk : (c + 1) * Bk]
+            y = jnp.dot(
+                x_c, Kd_ref[0, c],
+                preferred_element_type=x.dtype, precision=HIGHEST,
+            )
+            if c > 0:
+                x_m = xr[:, (c - 1) * Bk : c * Bk]
+                y = y + jax.lax.dot_general(
+                    x_m, Kl_ref[0, c], dn_t,
+                    preferred_element_type=x.dtype, precision=HIGHEST,
+                )
+            if c + 1 < nc:
+                x_p = xr[:, (c + 1) * Bk : (c + 2) * Bk]
+                y = y + jnp.dot(
+                    x_p, Kl_ref[0, c + 1],
+                    preferred_element_type=x.dtype, precision=HIGHEST,
+                )
+            chunks.append(y)
+        return jnp.concatenate(chunks, axis=1)[0]
+
+    def body(i, carry):
+        hi, lo, v = carry
+        # translation-mean centering (sharded._translation_mean): the
+        # one-hot csel rows make both the component sums and the tiled
+        # reconstruction exact
+        sums = jax.lax.dot_general(
+            csel, hi[None, :], sum_t,
+            preferred_element_type=hi.dtype, precision=HIGHEST,
+        )                                    # (8, 1)
+        mean = sums / counts
+        tbar = jax.lax.dot_general(
+            mean, csel, rec_t,
+            preferred_element_type=hi.dtype, precision=HIGHEST,
+        )[0]                                 # (DLB,)
+        f_int = band_matvec(hi - tbar)
+        tn = t0 + dt * (i0 + i.astype(hi.dtype))
+        ramp = jnp.where(ramped > 0.5, jnp.minimum(tn, one), one)
+        delta = (c1 * v + c2 * ((Fp * ramp - f_int) / lM)) * bc
+        # prediction overwrite in incremental form: at valid shared
+        # slots the increment becomes pred - (hi + lo)
+        pred = preds_ref[0, i, :]
+        delta = delta * (one - mc) + (pred - (hi + lo)) * mc
+        # TwoSum(hi, delta) + renormalize (Knuth/Dekker EFTs) — identical
+        # op order to the scan path
+        s = hi + delta
+        z = s - hi
+        e = (hi - (s - z)) + (delta - z)
+        lo = lo + e
+        hi2 = s + lo
+        lo2 = lo - (hi2 - s)
+        states_out[0, i, :] = hi2
+        return (hi2, lo2, delta)
+
+    hi, lo, v = jax.lax.fori_loop(
+        0, num_steps, body,
+        (hi_ref[0, 0, :], lo_ref[0, 0, :], v_ref[0, 0, :]),
+    )
+    hi_out[0, 0, :] = hi
+    lo_out[0, 0, :] = lo
+    v_out[0, 0, :] = v
+
+
+def pallas_online_chunk(
+    Kd, Kl, hi, lo, v, Fp, lM, bc, mc, csel, preds_dense,
+    *, t0_i0, dt, alpha, ramped,
+):
+    """One sub-chunk of ``Tc`` online steps for all parts (grid over the
+    part axis). All (P, 1, DLB)/(P, Tc, DLB) tensors are already in the
+    kernel's padded layout. Returns (hi, lo, v, states)."""
+    import numpy as np
+
+    P, nc, Bk, _ = Kd.shape
+    DLB = nc * Bk
+    Tc = preds_dense.shape[1]
+    dtype = hi.dtype
+    beta = 0.5 * float(alpha) * float(dt)
+    scal = jnp.asarray(
+        [t0_i0[0], dt, alpha, 1.0 if ramped else 0.0,
+         (1.0 - beta) / (1.0 + beta), float(dt) ** 2 / (1.0 + beta),
+         t0_i0[1], 0.0],
+        dtype,
+    )
+    kern = functools.partial(_online_kernel, num_steps=Tc, nc=nc, Bk=Bk)
+    band = pl.BlockSpec((1, nc, Bk, Bk), lambda p: (p, 0, 0, 0))
+    vec = lambda: pl.BlockSpec((1, 1, DLB), lambda p: (p, 0, 0))
+    mat8 = pl.BlockSpec((1, 8, DLB), lambda p: (p, 0, 0))
+    tmat = lambda: pl.BlockSpec((1, Tc, DLB), lambda p: (p, 0, 0))
+    itemsize = np.dtype(dtype).itemsize
+    hi2, lo2, v2, states = pl.pallas_call(
+        kern,
+        grid=(P,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [band, band] + [vec() for _ in range(7)] + [mat8, tmat()],
+        out_specs=(vec(), vec(), vec(), tmat()),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, 1, DLB), dtype),
+            jax.ShapeDtypeStruct((P, 1, DLB), dtype),
+            jax.ShapeDtypeStruct((P, 1, DLB), dtype),
+            jax.ShapeDtypeStruct((P, Tc, DLB), dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * Tc * ((3 * nc - 2) * Bk * Bk + 16 * DLB + 2 * 8 * DLB),
+            bytes_accessed=itemsize * P * (
+                2 * nc * Bk * Bk + 2 * Tc * DLB + 12 * DLB
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20,
+        ),
+        interpret=_interpret(),
+    )(scal, Kd, Kl, hi, lo, v, Fp, lM, bc, mc, csel, preds_dense)
+    return hi2, lo2, v2, states

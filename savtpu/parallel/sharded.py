@@ -747,6 +747,138 @@ class ShardedProblem:
         return out.at[:, self.DL - 1].set(0.0)
 
     # ------------------------------------------------------------------
+    def _online_pallas_ok(self, sync, preds, blend, record, save_every,
+                          num_steps, dtype) -> bool:
+        """Gate for the band-resident ONLINE whole-scan kernel
+        (ops/pallas_banded._online_kernel): the production comm-free
+        block — compensated state, per-step prediction overwrite, full
+        recording — with the band pinned in VMEM. This is the stage-4
+        hot path at scale (68 steps/s via the HBM-streaming lax.scan at
+        384^3/256 vs ~1k+ resident)."""
+        if (
+            sync
+            or preds is None
+            or blend is not None
+            or record != "all"
+            or not self.compensated
+            or self.fint_mode != "banded"
+            or self.band_Kd is None
+            or save_every < 1
+            or num_steps % save_every
+        ):
+            return False
+        if dtype != jnp.float32 and jax.default_backend() == "tpu":
+            return False  # TPU pallas has no f64
+        return self._online_chunk_len(num_steps, save_every) >= save_every
+
+    def _online_chunk_len(self, num_steps, save_every) -> int:
+        """Largest sub-chunk (multiple of save_every) whose dense pred +
+        recorded-state rows fit BOTH the kernel's VMEM budget (per part)
+        and an HBM transient budget (across all parts: the dense
+        (P, Tc, DLB) pred and state buffers live next to the fused
+        runner's own whole-run buffers — Tc=3000 at 384^3/256 put ~11 GB
+        of transients on a 16 GB chip and OOMed)."""
+        from ..ops.pallas_banded import online_scan_vmem_bytes
+
+        P, nc, Bk, _ = self.band_Kd.shape
+        DLB = nc * Bk
+        itemsize = np.dtype(self.lM.dtype).itemsize
+        budget = 80 * 2**20
+        fixed = online_scan_vmem_bytes(nc, Bk, DLB, 0, itemsize)
+        if fixed >= budget:
+            return 0
+        Tc = int((budget - fixed) // (2 * DLB * itemsize))
+        hbm_budget = 1_500_000_000
+        Tc = min(Tc, int(hbm_budget // (2 * P * DLB * itemsize)))
+        Tc = min(Tc, num_steps)
+        Tc -= Tc % save_every
+        return Tc
+
+    def _online_pallas_run(self, d0, dn, t0, num_steps, preds, save_every):
+        """Run the comm-free online block through the band-resident
+        kernel in VMEM-bounded sub-chunks. Semantics mirror the
+        compensated scan branch below (incremental update, TwoSum roll,
+        translation-mean centering, Online_predictor.py:298 overwrite);
+        returns ((traj, shared), carry) in the scan path's shapes."""
+        from ..ops.pallas_banded import pallas_online_chunk
+
+        P, DL = d0.shape
+        _, nc, Bk, _ = self.band_Kd.shape
+        DLB = nc * Bk
+        n = min(DL - 1, DLB)
+        dtype = d0.dtype
+        dtc = jnp.asarray(self.dt, dtype=dtype)
+
+        def fit(vv, fill=0.0):
+            out = jnp.full((P, DLB), fill, dtype)
+            return out.at[:, :n].set(vv[:, :n].astype(dtype))[:, None, :]
+
+        d0c = d0 * self.bc_mask
+        dnc = dn * self.bc_mask
+        hi = fit(d0c)
+        lo = fit(jnp.zeros_like(d0))
+        v = fit(d0c - dnc)
+        Fp = fit(self.F_pre)
+        lM = fit(self.lM, 1.0)
+        bc = fit(self.bc_mask)
+        mcol = jax.vmap(
+            lambda s, m: jnp.zeros((DL,), dtype).at[s].max(m)
+        )(self.sld, self.smask.astype(dtype))
+        mc = fit(mcol)
+        comp = jnp.arange(n) % 3
+        base = jnp.stack(
+            [(comp == c).astype(dtype) for c in range(3)]
+            + [jnp.zeros((n,), dtype)] * 5
+        )  # (8, n)
+        csel = jnp.zeros((P, 8, DLB), dtype).at[:, :, :n].set(
+            base[None] * self.dof_mask[:, None, :n].astype(dtype)
+        )
+
+        Tc = self._online_chunk_len(num_steps, save_every)
+        smask_d = self.smask.astype(dtype)
+        traj_parts, shared_parts = [], []
+        done = 0
+        while done < num_steps:
+            tc_k = min(Tc, num_steps - done)
+            pc = preds[:, done : done + tc_k, :].astype(dtype) * smask_d[:, None, :]
+            dense = jax.vmap(
+                lambda pr, s: jnp.zeros((tc_k, DL), dtype).at[:, s].set(pr)
+            )(pc, self.sld)
+            preds_dense = jnp.zeros((P, tc_k, DLB), dtype).at[
+                :, :, :n
+            ].set(dense[:, :, :n])
+            hi, lo, v, states = pallas_online_chunk(
+                self.band_Kd, self.band_Kl, hi, lo, v, Fp, lM, bc, mc,
+                csel, preds_dense,
+                t0_i0=(t0, float(done)), dt=self.dt, alpha=self.alpha,
+                ramped=self.ramped,
+            )
+            sh_k = jax.vmap(
+                lambda st, s, m: st[:, s] * m
+            )(states, self.sld, smask_d)  # (P, tc_k, 3*S_max)
+            shared_parts.append(sh_k)
+            tr = states[:, ::save_every, :n]
+            traj_parts.append(
+                jnp.zeros((P, tr.shape[1], DL), dtype).at[:, :, :n].set(tr)
+            )
+            done += tc_k
+
+        traj = jnp.concatenate(traj_parts, axis=1)
+        shared = jnp.concatenate(shared_parts, axis=1)
+        hi2 = hi[:, 0, :]
+        lo2 = lo[:, 0, :]
+        v2 = v[:, 0, :]
+
+        def unfit(vv):
+            out = jnp.zeros((P, DL), dtype)
+            return out.at[:, :n].set(vv[:, :n])
+
+        d1 = unfit(hi2 + lo2)
+        dn1 = unfit((hi2 + lo2) - v2)
+        i_f = jnp.asarray(float(num_steps), dtype)
+        return (traj, shared), (d1, dn1, t0 + dtc * i_f)
+
+    # ------------------------------------------------------------------
     def stacked_run(
         self,
         d0,
@@ -775,6 +907,12 @@ class ShardedProblem:
         dt = self.dt
         dtype = d0.dtype
         t0 = jnp.asarray(t0, dtype=dtype)
+
+        if self._online_pallas_ok(sync, preds, blend, record, save_every,
+                                  num_steps, dtype):
+            return self._online_pallas_run(
+                d0, dn, t0, num_steps, preds, save_every
+            )
 
         def _synced_fint(d):
             F_int = self._fint_stacked(d)
