@@ -202,11 +202,19 @@ def pallas_scan_comm_free_banded(
 # ---------------------------------------------------------------------------
 
 
-def online_scan_vmem_bytes(nc, Bk, DLB, Tc, itemsize) -> int:
+def online_scan_vmem_bytes(nc, Bk, DLB, S3p, Tc, save_every,
+                           itemsize) -> int:
     """Per-grid-program resident set of the online kernel: one part's
-    band blocks, the dense pred rows + recorded state rows for the
-    sub-chunk, and ~16 coefficient/state vectors."""
-    return itemsize * (2 * nc * Bk * Bk + 2 * Tc * DLB + 16 * DLB + 16 * 8 * DLB // 8)
+    band blocks, the one-hot shared-slot scatter/gather scratch, the
+    COMPACT pred rows in + shared rows out for the sub-chunk, the
+    save_every-strided recorded states, and ~16 coefficient vectors."""
+    return itemsize * (
+        2 * nc * Bk * Bk            # band
+        + S3p * DLB                 # one-hot scratch
+        + 2 * Tc * S3p              # compact preds in + shared out
+        + (Tc // max(save_every, 1) + 1) * DLB  # strided traj out
+        + 16 * DLB + 8 * DLB        # vectors + csel
+    )
 
 
 def _online_kernel(
@@ -221,23 +229,30 @@ def _online_kernel(
     bc_ref,      # VMEM (1, 1, DLB)
     mc_ref,      # VMEM (1, 1, DLB) 1 on this part's valid shared slots
     csel_ref,    # VMEM (1, 8, DLB) rows 0-2: dof_mask * [j%3 == c]
-    preds_ref,   # VMEM (1, Tc, DLB) dense pred rows (0 off-shared)
+    sld_ref,     # VMEM (1, S3p, 1) int32 shared local DOF ids (pad DL-1)
+    sm_ref,      # VMEM (1, S3p, 1) 1.0 on real shared slots
+    preds_ref,   # VMEM (1, Tc, S3p) COMPACT pred rows
     hi_out,      # VMEM (1, 1, DLB)
     lo_out,      # VMEM (1, 1, DLB)
     v_out,       # VMEM (1, 1, DLB)
-    states_out,  # VMEM (1, Tc, DLB) d1 (hi word) of every step
+    shared_out,  # VMEM (1, Tc, S3p) gathered shared rows of every step
+    traj_out,    # VMEM (1, Ttr, DLB) d1 (hi) of every save_every-th step
+    sc_ref,      # VMEM scratch (S3p, DLB): one-hot shared-slot selector
     *,
     num_steps: int,
     nc: int,
     Bk: int,
+    save_every: int,
 ):
     """Mirrors the compensated branch of ShardedProblem.stacked_run
     (parallel/sharded.py: incremental update + TwoSum state roll +
     translation-mean matvec centering + per-step shared-DOF overwrite,
     reference semantics Online_predictor.py:298) with the band pinned in
-    VMEM. The overwrite works on DENSE masked rows instead of gathered
-    compact rows — elementwise arithmetic at each shared slot is
-    identical to the scan path's gather/scatter form."""
+    VMEM. Shared-slot scatter (pred rows -> dense) and gather (state ->
+    shared rows) are exact one-hot MXU matmuls against a selector built
+    ONCE per part into VMEM scratch from the sld indices — pred/record
+    I/O is O(S3p) per step instead of O(DLB), which is what lets a whole
+    3000-step block run as a single kernel call."""
     t0 = scal_ref[0]
     dt = scal_ref[1]
     ramped = scal_ref[3]
@@ -259,6 +274,18 @@ def _online_kernel(
     # for the tiled reconstruction
     sum_t = (((1,), (1,)), ((), ()))
     rec_t = (((0,), (0,)), ((), ()))
+    gat_t = (((1,), (1,)), ((), ()))  # (1, DLB)x(S3p, DLB) -> (1, S3p)
+
+    # one-hot selector: row j is e_{sld[j]} * smask[j] (exact scatter
+    # AND gather: each column/row has at most one nonzero, so the
+    # HIGHEST-precision matmul is value * 1.0 summed with zeros)
+    S3p, DLB = sc_ref.shape
+    sld_col = sld_ref[0]                     # (S3p, 1) int32
+    sm_col = sm_ref[0]                       # (S3p, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S3p, DLB), 1)
+    sc_ref[:, :] = (
+        (lane == sld_col).astype(Fp.dtype) * sm_col
+    )
 
     def band_matvec(x):  # (DLB,) -> (DLB,)
         xr = x[None, :]
@@ -303,8 +330,12 @@ def _online_kernel(
         ramp = jnp.where(ramped > 0.5, jnp.minimum(tn, one), one)
         delta = (c1 * v + c2 * ((Fp * ramp - f_int) / lM)) * bc
         # prediction overwrite in incremental form: at valid shared
-        # slots the increment becomes pred - (hi + lo)
-        pred = preds_ref[0, i, :]
+        # slots the increment becomes pred - (hi + lo); the compact pred
+        # row scatters to dense through the one-hot selector
+        pred = jnp.dot(
+            preds_ref[0, i, :][None, :], sc_ref[:, :],
+            preferred_element_type=hi.dtype, precision=HIGHEST,
+        )[0]                                 # (DLB,)
         delta = delta * (one - mc) + (pred - (hi + lo)) * mc
         # TwoSum(hi, delta) + renormalize (Knuth/Dekker EFTs) — identical
         # op order to the scan path
@@ -314,7 +345,15 @@ def _online_kernel(
         lo = lo + e
         hi2 = s + lo
         lo2 = lo - (hi2 - s)
-        states_out[0, i, :] = hi2
+        shared_out[0, i, :] = jax.lax.dot_general(
+            hi2[None, :], sc_ref[:, :], gat_t,
+            preferred_element_type=hi.dtype, precision=HIGHEST,
+        )[0]                                 # (S3p,)
+
+        @pl.when(i % save_every == 0)
+        def _record():
+            traj_out[0, i // save_every, :] = hi2
+
         return (hi2, lo2, delta)
 
     hi, lo, v = jax.lax.fori_loop(
@@ -327,17 +366,20 @@ def _online_kernel(
 
 
 def pallas_online_chunk(
-    Kd, Kl, hi, lo, v, Fp, lM, bc, mc, csel, preds_dense,
-    *, t0_i0, dt, alpha, ramped,
+    Kd, Kl, hi, lo, v, Fp, lM, bc, mc, csel, sld3, sm3, preds_c,
+    *, t0_i0, dt, alpha, ramped, save_every,
 ):
     """One sub-chunk of ``Tc`` online steps for all parts (grid over the
-    part axis). All (P, 1, DLB)/(P, Tc, DLB) tensors are already in the
-    kernel's padded layout. Returns (hi, lo, v, states)."""
+    part axis). ``preds_c`` is (P, Tc, S3p) COMPACT shared rows;
+    ``sld3``/``sm3`` are (P, S3p, 1) selector inputs. Returns
+    (hi, lo, v, shared (P, Tc, S3p), traj (P, Tc//save_every, DLB))."""
     import numpy as np
 
     P, nc, Bk, _ = Kd.shape
     DLB = nc * Bk
-    Tc = preds_dense.shape[1]
+    Tc = preds_c.shape[1]
+    S3p = preds_c.shape[2]
+    Ttr = Tc // save_every
     dtype = hi.dtype
     beta = 0.5 * float(alpha) * float(dt)
     scal = jnp.asarray(
@@ -346,28 +388,40 @@ def pallas_online_chunk(
          t0_i0[1], 0.0],
         dtype,
     )
-    kern = functools.partial(_online_kernel, num_steps=Tc, nc=nc, Bk=Bk)
+    kern = functools.partial(
+        _online_kernel, num_steps=Tc, nc=nc, Bk=Bk,
+        save_every=save_every,
+    )
     band = pl.BlockSpec((1, nc, Bk, Bk), lambda p: (p, 0, 0, 0))
     vec = lambda: pl.BlockSpec((1, 1, DLB), lambda p: (p, 0, 0))
     mat8 = pl.BlockSpec((1, 8, DLB), lambda p: (p, 0, 0))
-    tmat = lambda: pl.BlockSpec((1, Tc, DLB), lambda p: (p, 0, 0))
+    col = lambda: pl.BlockSpec((1, S3p, 1), lambda p: (p, 0, 0))
+    smat = lambda: pl.BlockSpec((1, Tc, S3p), lambda p: (p, 0, 0))
+    trmat = pl.BlockSpec((1, Ttr, DLB), lambda p: (p, 0, 0))
     itemsize = np.dtype(dtype).itemsize
-    hi2, lo2, v2, states = pl.pallas_call(
+    hi2, lo2, v2, shared, traj = pl.pallas_call(
         kern,
         grid=(P,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [band, band] + [vec() for _ in range(7)] + [mat8, tmat()],
-        out_specs=(vec(), vec(), vec(), tmat()),
+        + [band, band] + [vec() for _ in range(7)]
+        + [mat8, col(), col(), smat()],
+        out_specs=(vec(), vec(), vec(), smat(), trmat),
         out_shape=(
             jax.ShapeDtypeStruct((P, 1, DLB), dtype),
             jax.ShapeDtypeStruct((P, 1, DLB), dtype),
             jax.ShapeDtypeStruct((P, 1, DLB), dtype),
-            jax.ShapeDtypeStruct((P, Tc, DLB), dtype),
+            jax.ShapeDtypeStruct((P, Tc, S3p), dtype),
+            jax.ShapeDtypeStruct((P, Ttr, DLB), dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((S3p, DLB), dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * P * Tc * ((3 * nc - 2) * Bk * Bk + 16 * DLB + 2 * 8 * DLB),
+            flops=2 * P * Tc * (
+                (3 * nc - 2) * Bk * Bk + 2 * S3p * DLB
+                + 16 * DLB + 2 * 8 * DLB
+            ),
             bytes_accessed=itemsize * P * (
-                2 * nc * Bk * Bk + 2 * Tc * DLB + 12 * DLB
+                2 * nc * Bk * Bk + 2 * Tc * S3p
+                + Ttr * DLB + 12 * DLB
             ),
             transcendentals=0,
         ),
@@ -375,5 +429,5 @@ def pallas_online_chunk(
             vmem_limit_bytes=110 * 2**20,
         ),
         interpret=_interpret(),
-    )(scal, Kd, Kl, hi, lo, v, Fp, lM, bc, mc, csel, preds_dense)
-    return hi2, lo2, v2, states
+    )(scal, Kd, Kl, hi, lo, v, Fp, lM, bc, mc, csel, sld3, sm3, preds_c)
+    return hi2, lo2, v2, shared, traj

@@ -771,25 +771,36 @@ class ShardedProblem:
             return False  # TPU pallas has no f64
         return self._online_chunk_len(num_steps, save_every) >= save_every
 
+    def _online_s3p(self) -> int:
+        """Compact shared-row width, padded to the 128-lane boundary
+        (the kernel's pred/shared buffers and one-hot scratch put it on
+        the lane axis)."""
+        S3 = self.sld.shape[1]
+        return max(128, -(-S3 // 128) * 128)
+
     def _online_chunk_len(self, num_steps, save_every) -> int:
-        """Largest sub-chunk (multiple of save_every) whose dense pred +
-        recorded-state rows fit BOTH the kernel's VMEM budget (per part)
-        and an HBM transient budget (across all parts: the dense
-        (P, Tc, DLB) pred and state buffers live next to the fused
-        runner's own whole-run buffers — Tc=3000 at 384^3/256 put ~11 GB
-        of transients on a 16 GB chip and OOMed)."""
+        """Largest sub-chunk (multiple of save_every) whose COMPACT pred
+        + shared rows and save_every-strided recorded states fit BOTH
+        the kernel's VMEM budget (per part) and an HBM transient budget
+        (across all parts: the sub-chunk buffers live next to the fused
+        runner's own whole-run buffers — the earlier DENSE Tc=3000
+        buffers at 384^3/256 put ~11 GB of transients on a 16 GB chip
+        and OOMed; the compact layout is ~10x smaller per step)."""
         from ..ops.pallas_banded import online_scan_vmem_bytes
 
         P, nc, Bk, _ = self.band_Kd.shape
         DLB = nc * Bk
+        S3p = self._online_s3p()
         itemsize = np.dtype(self.lM.dtype).itemsize
         budget = 80 * 2**20
-        fixed = online_scan_vmem_bytes(nc, Bk, DLB, 0, itemsize)
+        fixed = online_scan_vmem_bytes(nc, Bk, DLB, S3p, 0, save_every,
+                                       itemsize)
         if fixed >= budget:
             return 0
-        Tc = int((budget - fixed) // (2 * DLB * itemsize))
+        slope = itemsize * (2 * S3p + -(-DLB // max(save_every, 1)))
+        Tc = int((budget - fixed) // slope)
         hbm_budget = 1_500_000_000
-        Tc = min(Tc, int(hbm_budget // (2 * P * DLB * itemsize)))
+        Tc = min(Tc, int(hbm_budget // (P * slope)))
         Tc = min(Tc, num_steps)
         Tc -= Tc % save_every
         return Tc
@@ -834,6 +845,15 @@ class ShardedProblem:
             base[None] * self.dof_mask[:, None, :n].astype(dtype)
         )
 
+        S3 = self.sld.shape[1]
+        S3p = self._online_s3p()
+        sld3 = jnp.full((P, S3p, 1), DL - 1, jnp.int32).at[:, :S3, 0].set(
+            self.sld.astype(jnp.int32)
+        )
+        sm3 = jnp.zeros((P, S3p, 1), dtype).at[:, :S3, 0].set(
+            self.smask.astype(dtype)
+        )
+
         Tc = self._online_chunk_len(num_steps, save_every)
         smask_d = self.smask.astype(dtype)
         traj_parts, shared_parts = [], []
@@ -841,23 +861,17 @@ class ShardedProblem:
         while done < num_steps:
             tc_k = min(Tc, num_steps - done)
             pc = preds[:, done : done + tc_k, :].astype(dtype) * smask_d[:, None, :]
-            dense = jax.vmap(
-                lambda pr, s: jnp.zeros((tc_k, DL), dtype).at[:, s].set(pr)
-            )(pc, self.sld)
-            preds_dense = jnp.zeros((P, tc_k, DLB), dtype).at[
-                :, :, :n
-            ].set(dense[:, :, :n])
-            hi, lo, v, states = pallas_online_chunk(
+            preds_c = jnp.zeros((P, tc_k, S3p), dtype).at[:, :, :S3].set(pc)
+            hi, lo, v, shared, traj_c = pallas_online_chunk(
                 self.band_Kd, self.band_Kl, hi, lo, v, Fp, lM, bc, mc,
-                csel, preds_dense,
+                csel, sld3, sm3, preds_c,
                 t0_i0=(t0, float(done)), dt=self.dt, alpha=self.alpha,
-                ramped=self.ramped,
+                ramped=self.ramped, save_every=save_every,
             )
-            sh_k = jax.vmap(
-                lambda st, s, m: st[:, s] * m
-            )(states, self.sld, smask_d)  # (P, tc_k, 3*S_max)
-            shared_parts.append(sh_k)
-            tr = states[:, ::save_every, :n]
+            # padded shared slots gather through a zero selector row ->
+            # exactly 0; slicing back to S3 is the only cleanup needed
+            shared_parts.append(shared[:, :, :S3])
+            tr = traj_c[:, :, :n]
             traj_parts.append(
                 jnp.zeros((P, tr.shape[1], DL), dtype).at[:, :, :n].set(tr)
             )
