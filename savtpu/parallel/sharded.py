@@ -656,15 +656,21 @@ class ShardedProblem:
         return jax.vmap(assemble)(fe, self.nh_gather)
 
     def _exchange(self, F_int, reduce_fn):
-        def scatter(F, sld, sgi, smask):
-            return (
-                jnp.zeros((self.SD,), dtype=F.dtype)
-                .at[sgi]
-                .add(F[sld] * smask)
-            )
-
-        contrib = jax.vmap(scatter)(F_int, self.sld, self.sgi, self.smask)
-        tot = reduce_fn(contrib.sum(axis=0))  # (SD,)
+        # One FLAT scatter-add over all (part, slot) pairs into the (SD,)
+        # global shared vector, instead of a vmapped per-part scatter that
+        # materializes a (P, SD) contribution array and row-sums it (88 MB
+        # of HBM traffic per step at 384^3/256). Measured 6.09 -> 5.57
+        # ms/step at 384^3/256 (scripts/profile_exchanged.py; variants
+        # flat/sorted-segment-sum/transposed-gather all bottom out on 2-3
+        # irregular ~190k-element ops — this is the scatter-class floor).
+        vals = (
+            jax.vmap(lambda F, s: F[s])(F_int, self.sld) * self.smask
+        )
+        tot = reduce_fn(
+            jnp.zeros((self.SD,), dtype=F_int.dtype)
+            .at[self.sgi.reshape(-1)]
+            .add(vals.reshape(-1))
+        )  # (SD,)
 
         def setback(F, sld, sgi):
             return F.at[sld].set(tot[sgi])

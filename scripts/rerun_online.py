@@ -79,6 +79,11 @@ def main():
                     help="surrogate.seed (retrains stage 3; for retrain-"
                          "spread estimates)")
     ap.add_argument("--compensated", action="store_true", default=True)
+    ap.add_argument("--skip-retrain", action="store_true",
+                    help="reuse the existing Distributed_save models even "
+                         "when surrogate knobs are passed (the knobs must "
+                         "match the models on disk — used for timing "
+                         "reruns of stage 4 alone)")
     args = ap.parse_args()
 
     from savtpu.config import Config
@@ -152,6 +157,8 @@ def main():
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
 
     ctx = build_context(cfg, dtype=jnp.float32)
+    if args.skip_retrain:
+        retrain = False
     if retrain:
         t0 = time.time()
         model_training.run(cfg, verbose=False)

@@ -52,11 +52,17 @@ def _preds(sp, steps, dtype, seed=0):
     return jnp.asarray(amp * np.sin(w * t), dtype=dtype)
 
 
-@pytest.mark.parametrize("save_every", [1, 5])
-def test_online_kernel_matches_scan_f64(save_every, monkeypatch):
+@pytest.mark.parametrize(
+    "save_every,steps",
+    [
+        (1, 60),    # t_tile=1 (no multiple-of-8 divisor of 60)
+        (5, 60),
+        (5, 320),   # t_tile=160: exercises the batched multi-tile path
+    ],
+)
+def test_online_kernel_matches_scan_f64(save_every, steps, monkeypatch):
     dtype = jnp.float64
     prob, sp = _sharded_banded(dtype)
-    steps = 60
     preds = _preds(sp, steps, dtype)
     d0 = sp.localize(prob.d0)
     dnl = sp.localize(prob.dn)
