@@ -808,7 +808,20 @@ class ShardedProblem:
         hbm_budget = 1_500_000_000
         Tc = min(Tc, int(hbm_budget // (P * slope)))
         Tc = min(Tc, num_steps)
-        Tc -= Tc % save_every
+        # quantize so the kernel's step-tile batching gets a large tile:
+        # a Tc that is a multiple of lcm(200, save_every) admits t_tile
+        # in {200, 8..} (ops/pallas_banded._pick_step_tile); without it
+        # the selects fall back to per-step matvecs (319 vs 937 steps/s
+        # measured at 384^3/256, scripts/bench_online_kernel.py)
+        import math
+
+        for base in (200, 8, 1):
+            q = base * save_every // math.gcd(base, save_every)
+            if Tc >= q:
+                Tc -= Tc % q
+                break
+        else:
+            Tc -= Tc % save_every
         return Tc
 
     def _online_pallas_run(self, d0, dn, t0, num_steps, preds, save_every):

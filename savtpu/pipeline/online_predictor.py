@@ -693,12 +693,16 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
 
         full_blocks = (num_steps - n_sync) // block
         resync = int(getattr(sur, "resync_blocks", 0) or 0)
-        # group size bounded by a device-memory budget: each block in the
-        # group keeps (P, block, S3) shared rows + (P, block/se, DL)
-        # trajectory live; ~2GB/block at 64 parts x 1912 DL killed the
-        # remote worker with the fixed group of 8
-        per_block_bytes = 4 * P * block * (S3 + sp.DL // max(se_run, 1))
-        GROUP = max(1, min(8, int(2_000_000_000 // max(per_block_bytes, 1))))
+        # group size bounded by what the group scan actually STACKS and
+        # the host then fetches: only the save_every-strided trajectory
+        # (nb, P, block/se, DL) — the per-block shared rows and pred
+        # buffers are consumed inside each scan iteration and their HBM
+        # is reused across blocks. The budget caps the end-of-group
+        # fetch at ~750 MB (a ~1GB single fetch crashed the remote
+        # worker at 64 parts x 1912 DL with se_run=1, which this bound
+        # still keeps at GROUP=1).
+        per_block_bytes = 4 * P * (block // max(se_run, 1)) * sp.DL
+        GROUP = max(1, min(8, int(750_000_000 // max(per_block_bytes, 1))))
         if resync:
             GROUP = min(GROUP, resync)
         done_blocks = int(ck_extras.get("done_blocks", 0))
