@@ -11,10 +11,15 @@ from __future__ import annotations
 from dataclasses import dataclass, replace as dc_replace
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
+
+# elements per device pass of the setup-time vmapped element kernel
+# (see setup_problem's chunked accumulation)
+ELEMENT_CHUNK = 262_144
 from ..mesh import Mesh, beam_mesh, cfl_dt, dirichlet_nodes, read_vtk
 from ..mesh.geometry import node_to_dof
 from ..ops.assembly import (
@@ -153,11 +158,41 @@ def _setup_problem_f64(
     coords = gather_coords(cells, points, dtype=dtype)
     edofs = element_dofs(cells)
 
-    Me, Ke, Fe = batch_element_mkf(
-        sol.deg, sol.n_quad, material_steady, 0.0, coords
-    )
-    lumped_M = assemble_lumped_mass(Me, edofs, ndof)
-    F_pre = assemble_force(Fe, edofs, ndof)
+    # The one-shot vmapped element pass materializes (E, 12, 12) M and K
+    # tensors plus their fused B-matrix intermediates; past ~1M elements
+    # that exceeds HBM (measured 18.75 GB at 512x20x20 = 1.23M tets on a
+    # 16 GB chip). Chunk the pass and accumulate the assembled vectors;
+    # Ke (needed downstream by ShardedProblem.build) is concatenated,
+    # Me only kept when the ghost step will consume it (unramped load).
+    E_tot = coords.shape[0]
+    _CHUNK = ELEMENT_CHUNK
+    if E_tot <= _CHUNK:
+        Me, Ke, Fe = batch_element_mkf(
+            sol.deg, sol.n_quad, material_steady, 0.0, coords
+        )
+        lumped_M = assemble_lumped_mass(Me, edofs, ndof)
+        F_pre = assemble_force(Fe, edofs, ndof)
+    else:
+        mkf = jax.jit(
+            lambda c: batch_element_mkf(
+                sol.deg, sol.n_quad, material_steady, 0.0, c
+            )
+        )
+        Kes, Fes, Mes = [], [], []
+        lumped_M = jnp.zeros((ndof,), dtype=dtype)
+        F_pre = jnp.zeros((ndof,), dtype=dtype)
+        for s in range(0, E_tot, _CHUNK):
+            Me_c, Ke_c, Fe_c = mkf(coords[s : s + _CHUNK])
+            ed = edofs[s : s + _CHUNK]
+            lumped_M = lumped_M + assemble_lumped_mass(Me_c, ed, ndof)
+            F_pre = F_pre + assemble_force(Fe_c, ed, ndof)
+            Kes.append(Ke_c)
+            Fes.append(Fe_c)
+            if not mat_cfg.ramped:
+                Mes.append(Me_c)
+        Ke = jnp.concatenate(Kes, axis=0)
+        Fe = jnp.concatenate(Fes, axis=0)
+        Me = jnp.concatenate(Mes, axis=0) if Mes else None
 
     if sol.deg == 2:
         # the boundary triangles are corner facets; edge-midpoint nodes on

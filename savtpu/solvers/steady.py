@@ -370,6 +370,13 @@ def steady_displacement(prob):
     from ..ops.element import batch_element_mkf
 
     mat = _dc.replace(prob.material, ramped=False)
-    _, _, Fe = batch_element_mkf(prob.deg, prob.n_quad, mat, 0.0, prob.coords)
+    # jit so XLA dead-code-eliminates the unused (E, 12, 12) M and K
+    # tensors — the eager call materialized them and OOMed past ~1M
+    # elements (see setup_problem's chunked pass)
+    import jax as _jax
+
+    Fe = _jax.jit(
+        lambda c: batch_element_mkf(prob.deg, prob.n_quad, mat, 0.0, c)[2]
+    )(prob.coords)
     return steady_solve(prob.Ke, Fe, prob.edofs, prob.ndof,
                         prob.dirichlet_dofs, points=prob.mesh.points)
