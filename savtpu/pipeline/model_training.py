@@ -111,7 +111,12 @@ def _run_expfit(cfg: Config, store: ArtifactStore, n_parts: int,
     se = max(int(cfg.solver.save_every), 1)
     ramp_s = float(getattr(sur, "expfit_ramp_s", 1.0) or 0.0)
     results = {}
-    for r in range(n_parts):
+
+    # ranks are independent (load -> PCA -> pencil fits -> sidecar), so
+    # fan the per-rank work over host threads — the LAPACK SVDs and the
+    # pencil fits release the GIL; logging stays serial below. 463 s for
+    # 256 ranks at 384^3 was ~1.8 s/rank of pure host work.
+    def _fit_one(r):
         trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
         T, D = trace.shape
         cut = int(sur.cut_off * T)
@@ -147,23 +152,6 @@ def _run_expfit(cfg: Config, store: ArtifactStore, n_parts: int,
             np.linalg.norm(fit_full - co[:cut])
             / (float(np.linalg.norm(co[:cut])) or 1.0)
         )
-        if verbose:
-            print(
-                f"[model_training] rank {r}: expfit {info['n_modes']} "
-                f"modes, train rel {fit_rel:.2e}, held-out rel "
-                f"{val_rel:.2e}"
-            )
-        if not info["has_post_segment"] and ramp_end_row < cut and r == 0:
-            # the pencil saw the ramp end but too few autonomous rows
-            # (< max(4*order, 32)) and fell back to the frozen-ramp
-            # model — measured 50x worse than a true two-segment fit at
-            # 192^3 (docs/STATUS_r3.md). More training data fixes it.
-            print(
-                "[model_training] WARNING: expfit post-ramp training "
-                f"rows ({int(cut - ramp_end_row)}) < 4*order — frozen-"
-                "ramp fallback in use; raise surrogate.cut_off or run "
-                "more steps for a proper two-segment fit"
-            )
         save_params(
             store.model_file(r),
             params,
@@ -186,10 +174,42 @@ def _run_expfit(cfg: Config, store: ArtifactStore, n_parts: int,
                 "final_val_r2": 1.0 - val_rel**2,
             },
         )
-        results[r] = (params, {"fit_rel": fit_rel, "val_rel": val_rel})
-        from ..utils import stage_log
+        return r, params, fit_rel, val_rel, int(C), int(cut), info
 
-        stage_log(cfg).log(
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(16, os.cpu_count() or 1, n_parts))
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            fits = list(ex.map(_fit_one, range(n_parts)))
+    else:
+        fits = [_fit_one(r) for r in range(n_parts)]
+
+    from ..utils import stage_log
+
+    log = stage_log(cfg)
+    for r, params, fit_rel, val_rel, C, cut, info in fits:
+        if verbose:
+            print(
+                f"[model_training] rank {r}: expfit {info['n_modes']} "
+                f"modes, train rel {fit_rel:.2e}, held-out rel "
+                f"{val_rel:.2e}"
+            )
+        ramp_end_row = (ramp_s / (dt * se)) if ramp_s > 0 else 0.0
+        if not info["has_post_segment"] and ramp_end_row < cut and r == 0:
+            # the pencil saw the ramp end but too few autonomous rows
+            # (< max(4*order, 32)) and fell back to the frozen-ramp
+            # model — measured 50x worse than a true two-segment fit at
+            # 192^3 (docs/STATUS_r3.md). More training data fixes it.
+            print(
+                "[model_training] WARNING: expfit post-ramp training "
+                f"rows ({int(cut - ramp_end_row)}) < 4*order — frozen-"
+                "ramp fallback in use; raise surrogate.cut_off or run "
+                "more steps for a proper two-segment fit"
+            )
+        results[r] = (params, {"fit_rel": fit_rel, "val_rel": val_rel})
+        log.log(
             "stage3_train_rank",
             rank=r,
             arch="expfit",
