@@ -23,17 +23,47 @@ def shared_dof_indices(local_nodes: np.ndarray, shared: np.ndarray) -> np.ndarra
     return (3 * loc[:, None] + np.arange(3)[None, :]).reshape(-1)
 
 
+def _extract_one(paths):
+    """One rank's extraction; module-level so a process pool can run it
+    (the per-rank cost is gzip decompress + compress inside HDF5, which
+    serializes under h5py's global lock — processes, not threads)."""
+    local_csv, shared_csv, dyn_h5, out_h5 = paths
+    local_nodes = np.atleast_1d(
+        np.genfromtxt(local_csv, delimiter=",").astype(np.int64)
+    )
+    shared = np.atleast_1d(
+        np.genfromtxt(shared_csv, delimiter=",").astype(np.int64)
+    )
+    data = load_displacement(dyn_h5)
+    rows = shared_dof_indices(local_nodes, shared)
+    save_displacement(out_h5, data[rows, :])
+    return len(rows)
+
+
 def run(cfg: Config, n_parts: int | None = None):
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     n_parts = n_parts or cfg.partition.n_parts
-    sizes = []
-    for r in range(n_parts):
-        local_nodes = store.load_int_csv(store.local_nodes_csv(r))
-        shared = store.load_int_csv(store.shared_csv(r))
-        data = load_displacement(store.dynamics_h5(r))
-        rows = shared_dof_indices(local_nodes, shared)
-        save_displacement(store.shared_dof_h5(r), data[rows, :])
-        sizes.append(len(rows))
+    jobs = [
+        (
+            str(store.local_nodes_csv(r)),
+            str(store.shared_csv(r)),
+            str(store.dynamics_h5(r)),
+            str(store.shared_dof_h5(r)),
+        )
+        for r in range(n_parts)
+    ]
+    workers = max(1, min(8, os.cpu_count() or 1, n_parts))
+    if workers > 1:
+        try:
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                sizes = list(ex.map(_extract_one, jobs))
+        except (OSError, RuntimeError):  # constrained environments
+            sizes = [_extract_one(j) for j in jobs]
+    else:
+        sizes = [_extract_one(j) for j in jobs]
 
     from ..utils import stage_log
 
