@@ -296,6 +296,12 @@ class Config:
     beam_extent: tuple = (25.0, 1.0, 1.0)
     workdir: str = "Results"          # artifact root (reference: Results/)
     model_dir: str = "Distributed_save"
+    # Persistent XLA compilation cache for the stage CLIs. First-dispatch
+    # compilation is a real cost at scale (~minutes of the 384^3 stage-4
+    # wall, docs/STATUS_r3.md); the ad-hoc scripts always set it, the
+    # stage drivers now do too. None/"" disables; an already-configured
+    # jax_compilation_cache_dir or JAX_COMPILATION_CACHE_DIR env wins.
+    compile_cache_dir: Optional[str] = "/tmp/savtpu_jax_cache"
     material: MaterialConfig = field(default_factory=MaterialConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     partition: PartitionConfig = field(default_factory=PartitionConfig)

@@ -8,6 +8,8 @@ here it is built once and shared by the stage drivers.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +37,54 @@ class StageContext:
     store: ArtifactStore
 
 
+def _enable_compile_cache(cfg: Config) -> None:
+    """Point JAX at a persistent compilation cache (idempotent).
+
+    Stage reruns (checkpoint resume, --skip-retrain stage-4 replays, the
+    benchmark harnesses) otherwise pay full XLA recompilation of the scan
+    bodies every process. An explicit JAX_COMPILATION_CACHE_DIR env or an
+    already-set jax_compilation_cache_dir takes precedence.
+    """
+    cache_dir = getattr(cfg, "compile_cache_dir", None)
+    if not cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir:  # already configured
+            return
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:  # cache is an optimization, never a failure mode
+        pass
+
+
+def _warm_device_link() -> "object":
+    """Start a tiny device->host fetch on a background thread.
+
+    On remote-attached devices the FIRST transfer of a process
+    occasionally stalls for minutes while the data channel (re)connects
+    (measured 54-176 s per first fetch, size-independent; subsequent
+    fetches run at full bandwidth). Paying that latency on a 32-byte
+    fetch concurrently with host-side assembly keeps it off the critical
+    path; on healthy local backends this costs ~1 ms. Returns the thread
+    so callers can join before timing-sensitive sections.
+    """
+    import threading
+    import jax
+
+    jax.devices()  # backend init stays on the calling thread
+
+    def _fetch():
+        try:
+            np.asarray(jnp.zeros((8,), jnp.float32))
+        except Exception:
+            pass  # a warmup must never take the pipeline down
+
+    th = threading.Thread(target=_fetch, daemon=True, name="savtpu-d2h-warm")
+    th.start()
+    return th
+
+
 def build_context(
     cfg: Config,
     mesh=None,
@@ -43,6 +93,8 @@ def build_context(
 ) -> StageContext:
     import time
 
+    _enable_compile_cache(cfg)
+    _warm_device_link()  # overlap any first-fetch stall with assembly
     if cfg.solver.deg != 1:
         raise NotImplementedError(
             "the distributed dynamic pipeline is P1-only; deg=2 is "

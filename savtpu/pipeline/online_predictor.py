@@ -640,6 +640,21 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         traj_full[:, rec_off : rec_off + n] = np.asarray(arr)
         rec_off += n
 
+    # Double-buffered offload: the group loop dispatches group k+1 BEFORE
+    # fetching group k's stacked trajectory, so the D2H copy (hundreds of
+    # MB per group at 384^3/256, and a first-class cost over a remote
+    # device link) overlaps the next group's device compute. `pending`
+    # holds at most one group's device-side output; every ordered writer
+    # (resync blocks, ragged tail, checkpoints) flushes first so segments
+    # land in `traj_full` in step order.
+    pending = None
+
+    def flush_pending():
+        nonlocal pending
+        if pending is not None:
+            write_seg(pending)
+            pending = None
+
     t_start = time.perf_counter()
     if start_steps:
         import jax
@@ -702,7 +717,10 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         # worker at 64 parts x 1912 DL with se_run=1, which this bound
         # still keeps at GROUP=1).
         per_block_bytes = 4 * P * (block // max(se_run, 1)) * sp.DL
-        GROUP = max(1, min(8, int(750_000_000 // max(per_block_bytes, 1))))
+        # 500 MB per group: with the double-buffered offload two groups'
+        # stacked outputs can be live at once, so the cap keeps the
+        # transient under the ~1 GB that crashed the remote worker.
+        GROUP = max(1, min(8, int(500_000_000 // max(per_block_bytes, 1))))
         if resync:
             GROUP = min(GROUP, resync)
         done_blocks = int(ck_extras.get("done_blocks", 0))
@@ -712,6 +730,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         def save_ckpt():
             if tstore is None:
                 return
+            flush_pending()  # resume replays from written trajectory only
             tstore.mm["shared"][:] = np.asarray(
                 hist_dev, dtype=np.dtype(state_dtype)
             )
@@ -747,9 +766,12 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             # (nb, P, block//se, DL) -> (P, nb*block//se, DL); offload to
             # host per group so device memory and the final fetch stay
             # bounded at large P*DL (one ~1GB end-of-run fetch crashed the
-            # remote worker at 64 parts x 1912 DL)
+            # remote worker at 64 parts x 1912 DL). The fetch is deferred
+            # one iteration: the PREVIOUS group's copy runs while this
+            # group computes (run_block_group dispatch is async).
             tg = jnp.moveaxis(trajs_g, 0, 1)
-            write_seg(tg.reshape(P, -1, tg.shape[-1]))
+            flush_pending()
+            pending = tg.reshape(P, -1, tg.shape[-1])
             done_blocks += nb
             since_resync += nb
             if (
@@ -797,6 +819,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                     [hist_dev, jnp.asarray(shared_s, hist_dev.dtype)],
                     axis=1,
                 )[:, -W:]
+                flush_pending()
                 write_seg(traj_s)
                 done_blocks += 1
                 n_resync_steps += block
@@ -807,6 +830,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                     f"[online] step {n_sync + done_blocks * block}"
                     f"/{num_steps}"
                 )
+        flush_pending()
         i = n_sync + full_blocks * block
 
         if stacked_ok and i < num_steps:
