@@ -52,28 +52,33 @@ def _numpy_baseline_steps_per_sec(prob, maps, n_steps=2000):
         )
 
     dt, alpha = prob.dt, prob.alpha
-    states = [
-        (np.zeros_like(F), np.zeros_like(F)) for _, F, _, _ in rank_ops
-    ]
-    t0 = time.perf_counter()
-    tn = 0.0
-    for i in range(n_steps):
-        ramp = min(tn, 1.0)
-        for p, (K, F_pre, lM, dirich) in enumerate(rank_ops):
-            d0, dn = states[p]
-            F_int = K.dot(d0)
-            F_ext = F_pre * ramp
-            d1 = (
-                dt * dt * (F_ext - F_int)
-                + 2 * lM * d0
-                - lM * dn
-                + 0.5 * dt * alpha * lM * dn
-            ) / (lM + 0.5 * alpha * dt * lM)
-            d1[dirich] = 0.0
-            states[p] = (d1, d0)
-        tn += dt
-    elapsed = time.perf_counter() - t0
-    return n_steps / elapsed
+    # best-of-3: the host-CPU baseline showed 2.3x cross-session variance
+    # between rounds (ADVICE r3) — a single timing is machine-state noise,
+    # not a baseline. Repetitions share warmed caches.
+    best = 0.0
+    for _ in range(3):
+        states = [
+            (np.zeros_like(F), np.zeros_like(F)) for _, F, _, _ in rank_ops
+        ]
+        t0 = time.perf_counter()
+        tn = 0.0
+        for i in range(n_steps):
+            ramp = min(tn, 1.0)
+            for p, (K, F_pre, lM, dirich) in enumerate(rank_ops):
+                d0, dn = states[p]
+                F_int = K.dot(d0)
+                F_ext = F_pre * ramp
+                d1 = (
+                    dt * dt * (F_ext - F_int)
+                    + 2 * lM * d0
+                    - lM * dn
+                    + 0.5 * dt * alpha * lM * dn
+                ) / (lM + 0.5 * alpha * dt * lM)
+                d1[dirich] = 0.0
+                states[p] = (d1, d0)
+            tn += dt
+        best = max(best, n_steps / (time.perf_counter() - t0))
+    return best
 
 
 def main():
@@ -137,6 +142,12 @@ def main():
     exch_sps = timed("dense", sync=True)
     base_sps = _numpy_baseline_steps_per_sec(prob, maps)
 
+    # Scale-representative second headline (VERDICT r3 #8): the toy
+    # 110-node mesh is latency-bound (±5-9% cross-session variance); the
+    # 96x8x8 / 16-shard banded compensated row is the accuracy-study
+    # deployment configuration and is compute-bound.
+    scale = _scale_row(n_steps=4000)
+
     n_elem = len(prob.mesh.tetra)
     details = {
         "problem": "cantilever beam, 110 nodes / 256 tets, 2 shards",
@@ -146,9 +157,11 @@ def main():
         "sync_avoiding_by_mode": avoid_by_mode,
         "exchanged_steps_per_sec": exch_sps,
         "numpy_reference_loop_steps_per_sec": base_sps,
+        "numpy_reference_timing": "best of 3 in-process reps",
         "sync_avoid_over_exchanged": avoid_sps / exch_sps,
         "element_updates_per_sec": avoid_sps * n_elem,
         "speedup_vs_numpy_reference": avoid_sps / base_sps,
+        "scale_96x8x8_16shards": scale,
     }
     Path("BENCH_DETAILS.json").write_text(json.dumps(details, indent=2))
 
@@ -159,9 +172,70 @@ def main():
                 "value": round(avoid_sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(avoid_sps / base_sps, 2),
+                "scale_96x8x8_16shards_steps_per_sec": round(
+                    scale["sync_avoiding_steps_per_sec"], 1
+                ),
+                "scale_96x8x8_16shards_elem_updates_per_sec": round(
+                    scale["element_updates_per_sec"], 1
+                ),
             }
         )
     )
+
+
+def _scale_row(n_steps=4000):
+    """Comm-free throughput at 96x8x8 (36,864 tets) / 16 shards, banded
+    compensated f32 — the production deployment config of the accuracy
+    studies (benchmarks/sweep.py case list; docs/STATUS_r3.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from savtpu.config import Config
+    from savtpu.mesh import dirichlet_nodes
+    from savtpu.parallel import (
+        ShardedProblem,
+        build_partition_maps,
+        partition_elements,
+    )
+    from savtpu.parallel.sharded import ShardedSolver
+    from savtpu.solvers import setup_problem
+
+    cfg = Config()
+    cfg.beam_cells = (96, 8, 8)
+    cfg.beam_extent = (12.0, 1.0, 1.0)
+    prob = setup_problem(cfg, dtype=jnp.float32)
+    epart = partition_elements(prob.mesh.tetra, prob.mesh.points, 16, "rcb")
+    dnodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
+    )
+    sp = ShardedProblem.build(
+        prob, maps, fint_mode="banded", dtype=jnp.float32, compensated=True
+    )
+    solver = ShardedSolver(sp, mesh=None)
+    d0 = sp.localize(np.zeros(prob.ndof, np.float32))
+    dn = sp.localize(np.zeros(prob.ndof, np.float32))
+    (_, _), carry = solver.run(
+        d0, dn, 0.0, n_steps, sync=False, record="none"
+    )  # compile
+    jax.block_until_ready(carry)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (_, _), carry = solver.run(
+            d0, dn, 0.0, n_steps, sync=False, record="none"
+        )
+        jax.block_until_ready(carry)
+        best = max(best, n_steps / (time.perf_counter() - t0))
+    return {
+        "mesh": "96x8x8",
+        "elements": len(prob.mesh.tetra),
+        "n_parts": 16,
+        "fint_mode": "banded",
+        "compensated": True,
+        "sync_avoiding_steps_per_sec": best,
+        "element_updates_per_sec": best * len(prob.mesh.tetra),
+    }
 
 
 if __name__ == "__main__":

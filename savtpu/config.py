@@ -301,7 +301,10 @@ class Config:
     # wall, docs/STATUS_r3.md); the ad-hoc scripts always set it, the
     # stage drivers now do too. None/"" disables; an already-configured
     # jax_compilation_cache_dir or JAX_COMPILATION_CACHE_DIR env wins.
-    compile_cache_dir: Optional[str] = "/tmp/savtpu_jax_cache"
+    # "auto" resolves to a PER-USER 0700 directory (the cache deserializes
+    # compiled executables, so a world-shared /tmp path would let another
+    # local user pre-plant cache entries this pipeline then executes).
+    compile_cache_dir: Optional[str] = "auto"
     material: MaterialConfig = field(default_factory=MaterialConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     partition: PartitionConfig = field(default_factory=PartitionConfig)

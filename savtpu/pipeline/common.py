@@ -35,6 +35,17 @@ class StageContext:
     sp: ShardedProblem
     solver: ShardedSolver
     store: ArtifactStore
+    warm_thread: "object" = None  # _warm_device_link's thread, if any
+
+    def join_warm(self, timeout: float = 200.0) -> None:
+        """Wait for the warm-up fetch before timing-sensitive sections.
+
+        A still-stalled first fetch would otherwise overlap (and skew)
+        the first timed benchmark transfer.
+        """
+        th = self.warm_thread
+        if th is not None and getattr(th, "is_alive", lambda: False)():
+            th.join(timeout=timeout)
 
 
 def _enable_compile_cache(cfg: Config) -> None:
@@ -53,9 +64,40 @@ def _enable_compile_cache(cfg: Config) -> None:
     try:
         if jax.config.jax_compilation_cache_dir:  # already configured
             return
+        cache_dir = resolve_cache_dir(cache_dir)
+        if cache_dir is None:
+            return
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:  # cache is an optimization, never a failure mode
         pass
+
+
+def resolve_cache_dir(cache_dir: str) -> "str | None":
+    """Resolve + harden the compilation-cache directory.
+
+    The cache deserializes compiled executables keyed by deterministic
+    hashes, so a predictable world-shared path (the old /tmp/savtpu_jax_cache
+    default) would let another local user pre-create it and plant entries
+    this process then loads and executes. "auto" resolves to a per-user
+    0700 directory; any explicit path is refused unless owned by us with
+    no group/other write bits.
+    """
+    import getpass
+    import stat
+    import tempfile
+
+    if cache_dir == "auto":
+        cache_dir = os.path.join(
+            tempfile.gettempdir(), f"savtpu_jax_cache_{getpass.getuser()}"
+        )
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+            return None  # pre-existing dir we don't own / others can write
+    except OSError:
+        return None
+    return cache_dir
 
 
 def _warm_device_link() -> "object":
@@ -94,7 +136,7 @@ def build_context(
     import time
 
     _enable_compile_cache(cfg)
-    _warm_device_link()  # overlap any first-fetch stall with assembly
+    warm_th = _warm_device_link()  # overlap any first-fetch stall with assembly
     if cfg.solver.deg != 1:
         raise NotImplementedError(
             "the distributed dynamic pipeline is P1-only; deg=2 is "
@@ -179,7 +221,7 @@ def build_context(
         fint_mode=sp.fint_mode,
         **tmarks,
     )
-    return StageContext(cfg, prob, maps, sp, solver, store)
+    return StageContext(cfg, prob, maps, sp, solver, store, warm_thread=warm_th)
 
 
 def save_partition_labels(ctx: StageContext) -> None:

@@ -76,6 +76,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
 
     d0 = sp.localize(prob.d0)
     dn = sp.localize(prob.dn)
+    ctx.join_warm()  # don't let a stalled first D2H fetch skew the timing
     t_start = time.perf_counter()
     if num_steps % save_every:
         raise ValueError(

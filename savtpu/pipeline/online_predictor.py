@@ -655,6 +655,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             write_seg(pending)
             pending = None
 
+    ctx.join_warm()  # don't let a stalled first D2H fetch skew the timing
     t_start = time.perf_counter()
     if start_steps:
         import jax
@@ -745,6 +746,14 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
 
         if use_ckpt and not start_steps:
             save_ckpt()  # warm-up completed
+        # Checkpoint on the ckpt_every STEP cadence, not every group:
+        # save_ckpt's flush_pending() synchronously fetches the
+        # just-dispatched group, so a per-group save would zero out the
+        # double-buffered D2H/compute overlap in exactly the long runs
+        # checkpointing targets (ADVICE r3). Group boundaries are the only
+        # legal save points, so the cadence rounds up to whole groups.
+        ckpt_blocks = int(ck_extras.get("done_blocks", done_blocks))
+        ckpt_stride = max(1, -(-int(cfg.solver.ckpt_every or block) // block))
         while done_blocks < full_blocks:
             nb = min(GROUP, full_blocks - done_blocks)
             if resync:
@@ -824,7 +833,9 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 done_blocks += 1
                 n_resync_steps += block
                 since_resync = 0
-            save_ckpt()
+            if done_blocks - ckpt_blocks >= ckpt_stride:
+                save_ckpt()
+                ckpt_blocks = done_blocks
             if verbose:
                 print(
                     f"[online] step {n_sync + done_blocks * block}"
