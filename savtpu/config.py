@@ -69,6 +69,11 @@ class SolverConfig:
     # the recorded trajectory every ckpt_every steps in stages 1 and 4;
     # a killed run resumes bit-exactly from the last checkpoint. 0 = off.
     ckpt_every: int = 0
+    # neo-Hookean structured-box stencil force kernel (parallel/stencil.py):
+    # "auto" upgrades the matrix-free nh path to gather-free shifted-slice
+    # stencils when the mesh+partition are box-eligible; "off" forces the
+    # generic gather path (any unstructured mesh).
+    nh_stencil: str = "auto"
 
 
 @dataclass

@@ -1,0 +1,187 @@
+"""Structured-box detection for the stencil Neo-Hookean force path.
+
+The scale benchmarks run on the structured Kuhn-tet beam generator
+(savtpu.mesh.generator): every hex cell is congruent and carries the same
+6-tet decomposition, so on a box-aligned partition the per-element gathers
+of the generic matrix-free path (deformation-gradient gather + incident
+assembly gather, the two measured hot spots at 11.4 ms/step for 96x8x8/16)
+collapse into *shifted dense slices* of a (NX, NY, NZ, 3) nodal grid —
+zero irregular memory ops, pure VPU arithmetic. This module detects when
+that layout applies:
+
+- the mesh is exactly a uniform structured Kuhn grid with lexicographic
+  node numbering (the generator's layout, verified cell-for-cell), and
+- every partition owns a full box of cells, all boxes the same shape
+  (true for 'slab' and for RCB on divisible beam grids).
+
+Detection failing is not an error — the generic gather path remains the
+fallback for unstructured meshes (reference capability:
+/root/reference/Tools/Mat_construction.py:79-119 computes element forces
+on arbitrary tet meshes; we keep that contract and add the structured
+fast path on top).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from ..mesh.generator import _CORNERS, _HEX_TO_TETS
+from .halo import PartitionMaps
+
+
+@dataclass(frozen=True)
+class BoxPartition:
+    cell_dims: Tuple[int, int, int]     # global (nx, ny, nz) cells
+    spacing: Tuple[float, float, float]
+    node_dims: Tuple[int, int, int]     # per-part node box (equal parts)
+    origins: List[Tuple[int, int, int]]  # per-part cell-box origin
+
+
+def detect_structured(mesh):
+    """(nx, ny, nz, spacing) if ``mesh`` is exactly a uniform structured
+    Kuhn-tet grid with lexicographic node ids; None otherwise."""
+    tets = mesh.tetra
+    pts = np.asarray(mesh.points)
+    if tets is None or len(tets) == 0 or len(tets) % 6:
+        return None
+    xs = np.unique(pts[:, 0])
+    ys = np.unique(pts[:, 1])
+    zs = np.unique(pts[:, 2])
+    nx, ny, nz = len(xs) - 1, len(ys) - 1, len(zs) - 1
+    if min(nx, ny, nz) < 1:
+        return None
+    if len(pts) != (nx + 1) * (ny + 1) * (nz + 1):
+        return None
+    if len(tets) != 6 * nx * ny * nz:
+        return None
+    spacing = []
+    for u in (xs, ys, zs):
+        d = np.diff(u)
+        if not np.allclose(d, d[0], rtol=1e-9, atol=1e-12):
+            return None
+        spacing.append(float(d[0]))
+    # lexicographic node ids: point n must sit at grid index
+    # (i, j, k) with n == (i*(ny+1) + j)*(nz+1) + k
+    gi = np.rint((pts[:, 0] - xs[0]) / spacing[0]).astype(np.int64)
+    gj = np.rint((pts[:, 1] - ys[0]) / spacing[1]).astype(np.int64)
+    gk = np.rint((pts[:, 2] - zs[0]) / spacing[2]).astype(np.int64)
+    nid = (gi * (ny + 1) + gj) * (nz + 1) + gk
+    if not np.array_equal(nid, np.arange(len(pts))):
+        return None
+    # connectivity must be the generator's Kuhn pattern, cell for cell
+    I, J, K = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    base = np.stack([I.ravel(), J.ravel(), K.ravel()], axis=1)
+    corners = (
+        (base[:, None, 0] + _CORNERS[None, :, 0]) * (ny + 1)
+        + (base[:, None, 1] + _CORNERS[None, :, 1])
+    ) * (nz + 1) + (base[:, None, 2] + _CORNERS[None, :, 2])
+    expected = corners[:, _HEX_TO_TETS].reshape(-1, 4)
+    if not np.array_equal(np.asarray(tets, dtype=np.int64), expected):
+        return None
+    return nx, ny, nz, tuple(spacing)
+
+
+def detect_box_partition(mesh, maps: PartitionMaps):
+    """BoxPartition if every part owns a full, equal-shaped box of cells of
+    a structured mesh; None otherwise (generic gather path applies)."""
+    s = detect_structured(mesh)
+    if s is None:
+        return None
+    nx, ny, nz, spacing = s
+    node_dims = None
+    origins = []
+    for p in range(maps.n_parts):
+        elems = np.sort(np.asarray(maps.local_elements[p]))
+        if len(elems) == 0 or len(elems) % 6:
+            return None
+        cells = elems.reshape(-1, 6)
+        if not (cells % 6 == np.arange(6)).all():
+            return None  # partial cells
+        cid = cells[:, 0] // 6
+        iz = cid % nz
+        iy = (cid // nz) % ny
+        ix = cid // (ny * nz)
+        x0, y0, z0 = int(ix.min()), int(iy.min()), int(iz.min())
+        bx = int(ix.max()) - x0 + 1
+        by = int(iy.max()) - y0 + 1
+        bz = int(iz.max()) - z0 + 1
+        if len(cid) != bx * by * bz:
+            return None
+        expect = (
+            (np.arange(x0, x0 + bx)[:, None, None] * ny
+             + np.arange(y0, y0 + by)[None, :, None]) * nz
+            + np.arange(z0, z0 + bz)[None, None, :]
+        ).ravel()
+        if not np.array_equal(cid, expect):  # cid is sorted by construction
+            return None
+        nd = (bx + 1, by + 1, bz + 1)
+        if node_dims is None:
+            node_dims = nd
+        elif node_dims != nd:
+            return None  # unequal boxes cannot stack; fallback
+        origins.append((x0, y0, z0))
+    return BoxPartition(
+        cell_dims=(nx, ny, nz),
+        spacing=spacing,
+        node_dims=node_dims,
+        origins=origins,
+    )
+
+
+def lex_reorder_maps(maps: PartitionMaps) -> PartitionMaps:
+    """Reorder each part's local node list to ascending global id.
+
+    On a structured mesh (lexicographic global ids) restricted to a box,
+    ascending global id IS local lexicographic (ix, iy, iz) order — the
+    layout the stencil force kernel reshapes into a (NX, NY, NZ, 3) grid.
+    Downstream maps are rebuilt from the new order (same contract as
+    halo.rcm_reorder_maps)."""
+    new_local = [np.sort(ln) for ln in maps.local_nodes]
+    new_shared = [ln[np.isin(ln, maps.global_shared)] for ln in new_local]
+    new_dirichlet = []
+    for p in range(maps.n_parts):
+        old_nodes = maps.local_nodes[p]
+        dir_nodes = np.unique(
+            old_nodes[np.asarray(maps.local_dirichlet[p]) // 3]
+        )
+        loc = np.flatnonzero(np.isin(new_local[p], dir_nodes))
+        new_dirichlet.append(
+            (3 * loc[:, None] + np.arange(3)[None, :]).reshape(-1)
+        )
+    return PartitionMaps(
+        n_parts=maps.n_parts,
+        epart=maps.epart,
+        local_elements=maps.local_elements,
+        local_nodes=new_local,
+        shared_nodes=new_shared,
+        global_shared=maps.global_shared,
+        local_dirichlet=new_dirichlet,
+    )
+
+
+def type_geometry(spacing):
+    """Per-tet-type physical shape gradients G (6, 4, 3) and detJ*w (6,)
+    for one Kuhn cell of the given spacing — constant across the grid.
+    Same J/G conventions as the generic nh build
+    (savtpu.parallel.sharded.ShardedProblem.build)."""
+    dx, dy, dz = spacing
+    corners = _CORNERS.astype(np.float64) * np.array([dx, dy, dz])
+    dN = np.array(
+        [[-1.0, -1.0, -1.0],
+         [1.0, 0.0, 0.0],
+         [0.0, 1.0, 0.0],
+         [0.0, 0.0, 1.0]]
+    )
+    G = np.zeros((6, 4, 3))
+    dJw = np.zeros(6)
+    for t in range(6):
+        Pc = corners[_HEX_TO_TETS[t]]                   # (4, 3)
+        Jm = np.einsum("ai,aj->ij", dN, Pc).T           # J[i,j]=sum dN_aj P_ai
+        G[t] = dN @ np.linalg.inv(Jm)
+        dJw[t] = np.linalg.det(Jm) * (1.0 / 6.0)        # 4-pt wts sum = 1/6
+    return G, dJw

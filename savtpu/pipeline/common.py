@@ -198,6 +198,7 @@ def build_context(
         prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype,
         exchange_mode=cfg.solver.exchange_mode,
         compensated=compensated, material=material,
+        nh_stencil=cfg.solver.nh_stencil,
     )
     mark("device_pack_s")
     # fint_mode='banded' RCM-reorders the local DOF layout inside
