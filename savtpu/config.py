@@ -296,7 +296,9 @@ class SurrogateConfig:
 
 @dataclass
 class Config:
-    mesh_path: Optional[str] = None   # legacy-VTK path; None -> generated beam
+    # mesh file (.vtk legacy ASCII or gmsh .msh 2.2/4.1 ASCII);
+    # None -> generated structured beam from beam_cells/beam_extent
+    mesh_path: Optional[str] = None
     beam_cells: tuple = (25, 1, 1)    # structured generator resolution
     beam_extent: tuple = (25.0, 1.0, 1.0)
     workdir: str = "Results"          # artifact root (reference: Results/)

@@ -81,6 +81,58 @@ def beam_mesh(
     return Mesh(points=points, cells={"tetra": tets, "triangle": tris})
 
 
+def tube_mesh(
+    n_r: int = 2,
+    n_theta: int = 16,
+    n_z: int = 20,
+    r_inner: float = 0.5,
+    r_outer: float = 1.0,
+    length: float = 5.0,
+) -> Mesh:
+    """Structured tet mesh of an annular tube (coronary-vessel stand-in —
+    the reference's target geometry class, README.md:44 / Tools/
+    Mat_construction.py:79 ``Local_K_coronary``). Cylindrical product grid
+    (n_r x n_theta x n_z hex cells, periodic in theta), each hex split by
+    the same Kuhn pattern as :func:`beam_mesh` — the pattern is
+    translation-invariant in index space, so the split is conforming
+    across the periodic seam. Clamped-face detection: the z=0 end cap
+    (``dirichlet_axis=2``).
+    """
+    rs = np.linspace(r_inner, r_outer, n_r + 1)
+    ts = np.arange(n_theta) * (2.0 * np.pi / n_theta)
+    zs = np.linspace(0.0, length, n_z + 1)
+    R, T, Z = np.meshgrid(rs, ts, zs, indexing="ij")
+    points = np.stack(
+        [(R * np.cos(T)).ravel(), (R * np.sin(T)).ravel(), Z.ravel()], axis=1
+    )
+
+    def nid(i, j, k):  # theta wraps
+        return (i * n_theta + (j % n_theta)) * (n_z + 1) + k
+
+    I, J, K = np.meshgrid(
+        np.arange(n_r), np.arange(n_theta), np.arange(n_z), indexing="ij"
+    )
+    base = np.stack([I.ravel(), J.ravel(), K.ravel()], axis=1)
+    corners = nid(
+        base[:, None, 0] + _CORNERS[None, :, 0],
+        base[:, None, 1] + _CORNERS[None, :, 1],
+        base[:, None, 2] + _CORNERS[None, :, 2],
+    )
+    tets = corners[:, _HEX_TO_TETS].reshape(-1, 4).astype(np.int32)
+    # the (r, theta, z) frame is right-handed and the cylindrical map has
+    # det = r > 0, so every Kuhn tet stays positively oriented; verify.
+    P = points[tets]
+    vol6 = np.einsum(
+        "ei,ei->e",
+        np.cross(P[:, 1] - P[:, 0], P[:, 2] - P[:, 0]),
+        P[:, 3] - P[:, 0],
+    )
+    assert (vol6 > 0).all(), "tube generator produced inverted tets"
+
+    tris = _boundary_triangles(tets)
+    return Mesh(points=points, cells={"tetra": tets, "triangle": tris})
+
+
 def _boundary_triangles(tets: np.ndarray) -> np.ndarray:
     """Extract boundary faces: tet faces appearing exactly once."""
     faces = np.concatenate(

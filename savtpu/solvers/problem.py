@@ -20,7 +20,7 @@ from ..config import Config
 # elements per device pass of the setup-time vmapped element kernel
 # (see setup_problem's chunked accumulation)
 ELEMENT_CHUNK = 262_144
-from ..mesh import Mesh, beam_mesh, cfl_dt, dirichlet_nodes, read_vtk
+from ..mesh import Mesh, beam_mesh, cfl_dt, dirichlet_nodes, read_mesh
 from ..mesh.geometry import node_to_dof
 from ..ops.assembly import (
     assemble_force,
@@ -73,7 +73,7 @@ class AssembledProblem:
 
 def load_mesh(cfg: Config) -> Mesh:
     if cfg.mesh_path is not None:
-        return read_vtk(cfg.mesh_path)
+        return read_mesh(cfg.mesh_path)
     nx, ny, nz = cfg.beam_cells
     return beam_mesh(nx, ny, nz, extent=cfg.beam_extent)
 

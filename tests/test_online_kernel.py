@@ -144,3 +144,51 @@ def test_online_kernel_subchunking_matches_single(monkeypatch):
     assert np.array_equal(np.asarray(traj_a), np.asarray(traj_b))
     assert np.array_equal(np.asarray(sh_a), np.asarray(sh_b))
     assert np.array_equal(np.asarray(carry_a[0]), np.asarray(carry_b[0]))
+
+
+def test_online_kernel_under_device_mesh():
+    """The production stage-4 configuration (banded + compensated +
+    per-step overwrite + full recording) executing INSIDE shard_map over
+    an 8-virtual-device mesh must match the single-device emulation to
+    1e-12 (VERDICT r3 #6 — previously only the dense fused block group
+    was dryrun under a mesh)."""
+    from savtpu.parallel import make_device_mesh
+    from savtpu.parallel.sharded import ShardedSolver
+
+    dtype = jnp.float64
+    cfg = Config()
+    cfg.beam_cells = (16, 2, 2)
+    cfg.beam_extent = (8.0, 1.0, 1.0)
+    prob = setup_problem(cfg, dtype=dtype)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 8, method="rcb"
+    )
+    dn_nodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn_nodes
+    )
+    sp = ShardedProblem.build(
+        prob, maps, fint_mode="banded", dtype=dtype, compensated=True
+    )
+    steps, save_every = 60, 5
+    preds = _preds(sp, steps, dtype)
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    assert sp._online_pallas_ok(
+        False, preds, None, "all", save_every, steps, dtype
+    )
+    (traj_e, sh_e), carry_e = ShardedSolver(sp, mesh=None).run(
+        d0, dnl, 0.0, steps, sync=False, preds=preds,
+        record="all", save_every=save_every,
+    )
+    (traj_m, sh_m), carry_m = ShardedSolver(sp, mesh=make_device_mesh(8)).run(
+        d0, dnl, 0.0, steps, sync=False, preds=preds,
+        record="all", save_every=save_every,
+    )
+    nt = np.linalg.norm(np.asarray(traj_e))
+    assert np.linalg.norm(np.asarray(traj_m) - np.asarray(traj_e)) <= 1e-12 * max(nt, 1e-30)
+    ns = np.linalg.norm(np.asarray(sh_e))
+    assert np.linalg.norm(np.asarray(sh_m) - np.asarray(sh_e)) <= 1e-12 * max(ns, 1e-30)
+    for cm, ce in zip(carry_m[:2], carry_e[:2]):
+        nc_ = np.linalg.norm(np.asarray(ce))
+        assert np.linalg.norm(np.asarray(cm) - np.asarray(ce)) <= 1e-12 * max(nc_, 1e-30)
