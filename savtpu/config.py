@@ -199,7 +199,16 @@ class SurrogateConfig:
                         # closed-form pole/amplitude extrapolation
                         # replaces sequence regression entirely; open
                         # loop in time -> zero autoregressive drift;
-                        # fits in milliseconds) | "linear"
+                        # fits in milliseconds)
+                        # | "hybrid" (savtpu extension: expfit base +
+                        # LSTM residual — the LTI fit carries the bulk
+                        # open-loop in time, the LSTM trains on the
+                        # residual mode coefficients and its
+                        # autoregressive drift is scaled down by the
+                        # residual/signal ratio; the nonlinear-capable
+                        # drift-breaker for material.model="neo_hookean".
+                        # Requires modal_dim > 0 and the stacked path.)
+                        # | "linear"
                         # (savtpu extension: one ridge-regression affine
                         # map flat(n_past window) -> flat(n_future window),
                         # fit in closed form on host — no epochs. The

@@ -221,12 +221,179 @@ def _run_expfit(cfg: Config, store: ArtifactStore, n_parts: int,
     return results
 
 
+def _run_hybrid(cfg: Config, store: ArtifactStore, n_parts: int,
+                verbose: bool):
+    """arch="hybrid": expfit base + LSTM residual (savtpu extension).
+
+    The matrix-pencil LTI fit captures the bulk of the interface motion
+    OPEN-LOOP in time (zero autoregressive drift, models/expfit.py); a
+    stacked LSTM then trains on the RESIDUAL mode-coefficient trace —
+    everything the LTI model cannot represent (nonlinearity, e.g.
+    material.model="neo_hookean"; nonstationarity). Online, the block
+    prediction is base(t) + LSTM(residual history): the LSTM's
+    autoregressive drift applies only to the residual amplitude, so the
+    global error is scaled down by the residual/signal ratio — the
+    drift-breaking structure the round-3 cut_off=1.0 diagnostic showed a
+    raw LSTM cannot reach (docs/STATUS_r3.md). Requires modal_dim > 0
+    (the expfit segment works in the PCA mode subspace) and the stacked
+    online path.
+    """
+    from ..models.expfit import eval_expfit, fit_expfit
+    from ..models.modal import modal_basis, to_modal
+    from ..models.training import fit_stacked
+
+    sur = cfg.surrogate
+    if not sur.modal_dim:
+        raise ValueError("arch='hybrid' requires surrogate.modal_dim > 0")
+    dt = _stage1_dt(cfg)
+    se = max(int(cfg.solver.save_every), 1)
+    ramp_s = float(getattr(sur, "expfit_ramp_s", 1.0) or 0.0)
+    ramp_end_row = (ramp_s / (dt * se)) if ramp_s > 0 else 0.0
+    eff_filter = effective_filter(cfg)
+
+    # per-rank: modal projection + expfit base fit + residual trace
+    res_traces, modal_metas, exp_params, exp_metas, dims = [], [], [], [], []
+    for r in range(n_parts):
+        trace = load_displacement(store.shared_dof_h5(r)).T  # (T, D)
+        T, D = trace.shape
+        cut = int(sur.cut_off * T)
+        mu, basis = modal_basis(trace[:cut], sur.modal_dim)
+        co = to_modal(trace, mu, basis)
+        params_e, info = fit_expfit(
+            co[:cut], ramp_end_row, order=sur.expfit_order
+        )
+        base = eval_expfit(params_e, np.arange(T, dtype=float),
+                           ramp_end_row)
+        res = co - base
+        fit_rel = float(
+            np.linalg.norm(res[:cut])
+            / (float(np.linalg.norm(co[:cut])) or 1.0)
+        )
+        if verbose:
+            print(
+                f"[model_training] rank {r}: hybrid expfit "
+                f"{info['n_modes']} modes, residual/signal {fit_rel:.2e}"
+            )
+        res_traces.append(res)
+        dims.append(res.shape[1])
+        modal_metas.append({
+            "modal_dim": int(basis.shape[0]),
+            "modal_phys_size": int(D),
+            "modal_mean": mu.tolist(),
+            "modal_basis": basis.tolist(),
+        })
+        exp_params.append(params_e)
+        exp_metas.append({
+            "expfit_order": int(sur.expfit_order),
+            "expfit_modes": int(info["n_modes"]),
+            "expfit_ramp_end_row": float(ramp_end_row),
+            "expfit_has_post_segment": bool(info["has_post_segment"]),
+            "expfit_residual_rel": fit_rel,
+        })
+
+    # stacked LSTM on the residual coefficient traces (uniform pad to Kmax)
+    Kmax = max(dims)
+    Xs, Ys, smaxs, smins = [], [], [], []
+    per_feature = sur.scale_mode == "per_feature"
+    for res in res_traces:
+        X, Y, X0, Y0 = _phase_windows(res, sur, eff_filter)
+        _, _, smax, smin = scale_to_zero_one(X0, Y0, mode=sur.scale_mode)
+        if per_feature:
+            fmax = np.zeros(Kmax)
+            fmin = np.full(Kmax, -1.0)
+            fmax[: X.shape[-1]] = smax
+            fmin[: X.shape[-1]] = smin
+            smax, smin = fmax, fmin
+        Xs.append(X)
+        Ys.append(Y)
+        smaxs.append(smax)
+        smins.append(smin)
+    G = min(x.shape[0] for x in Xs)
+    Xp = np.zeros((n_parts, G, sur.n_past, Kmax))
+    Yp = np.zeros((n_parts, G, sur.n_future * sur.rollout_windows, Kmax))
+    fm = np.zeros((n_parts, Kmax))
+    for r in range(n_parts):
+        Xp[r, :, :, : dims[r]] = Xs[r][:G]
+        Yp[r, :, :, : dims[r]] = Ys[r][:G]
+        Xp[r] = (Xp[r] - smaxs[r]) / (smaxs[r] - smins[r])
+        Yp[r] = (Yp[r] - smaxs[r]) / (smaxs[r] - smins[r])
+        fm[r, : dims[r]] = 1.0
+    if verbose:
+        print(
+            f"[model_training] hybrid stacked residual LSTM: {n_parts} "
+            f"shards, K={Kmax}, {G} windows each, {sur.epochs} epochs"
+        )
+    log = (lambda s: print(f"[hybrid] {s}")) if verbose else (lambda s: None)
+    import time as _time
+
+    import jax
+
+    _t0 = _time.perf_counter()
+    params, hist = fit_stacked(
+        sur, Xp, Yp, fm, log_every=50 if verbose else 0, log_fn=log,
+    )
+    from ..utils import stage_log
+
+    stage_log(cfg).log(
+        "stage3_train_hybrid",
+        shards=n_parts,
+        input_size=int(Kmax),
+        windows=int(G),
+        epochs=sur.epochs,
+        seconds=round(_time.perf_counter() - _t0, 3),
+        residual_rel=[m["expfit_residual_rel"] for m in exp_metas],
+        final_train_loss=[float(x) for x in hist["train_loss"][-1]],
+        final_val_r2=[float(x) for x in hist["val_r2"][-1]],
+    )
+
+    results = {}
+    for r in range(n_parts):
+        lstm_r = jax.tree.map(lambda a: np.asarray(a[r]), params)
+        hist_r = {k: hist[k][:, r].tolist() for k in hist}
+        store.save_training_curves(r, hist_r)
+        save_params(
+            store.model_file(r),
+            {"expfit": exp_params[r], "lstm": lstm_r},
+            meta={
+                **modal_metas[r],
+                **exp_metas[r],
+                "arch": "hybrid",
+                "window_phases": int(getattr(sur, "window_phases", 1) or 1),
+                "input_size": int(Kmax),
+                "real_input_size": int(dims[r]),
+                "padded_input": True,
+                "hidden_size": sur.hidden_size,
+                "num_layers_encoder": sur.num_layers_encoder,
+                "bidirectional": sur.bidirectional,
+                "n_past": sur.n_past,
+                "n_future": sur.n_future,
+                "rollout_windows": sur.rollout_windows,
+                "filter_size": sur.filter_size,
+                "cut_off": sur.cut_off,
+                "save_every": int(se),
+                "scale_mode": sur.scale_mode,
+                "scale_max": (
+                    smaxs[r].tolist() if per_feature else smaxs[r]
+                ),
+                "scale_min": (
+                    smins[r].tolist() if per_feature else smins[r]
+                ),
+                "final_train_loss": hist_r["train_loss"][-1],
+                "final_val_r2": hist_r["val_r2"][-1],
+            },
+        )
+        results[r] = ({"expfit": exp_params[r], "lstm": lstm_r}, hist_r)
+    return results
+
+
 def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     sur = cfg.surrogate
     n_parts = n_parts or cfg.partition.n_parts
     if getattr(sur, "arch", "lstm") == "expfit":
         return _run_expfit(cfg, store, n_parts, verbose)
+    if getattr(sur, "arch", "lstm") == "hybrid":
+        return _run_hybrid(cfg, store, n_parts, verbose)
     stacked = sur.stacked if sur.stacked is not None else n_parts > 1
     if stacked:
         return _run_stacked(cfg, store, n_parts, verbose)

@@ -74,6 +74,75 @@ def load_rank_models(ctx: StageContext):
                  modal_info, 1, meta)
             )
             continue
+        if meta.get("arch", "lstm") == "hybrid":
+            # expfit base + residual LSTM (pipeline/model_training.py:
+            # _run_hybrid): params is a {"expfit", "lstm"} pytree; the
+            # scaling constants belong to the RESIDUAL trace
+            from ..models.expfit import eval_expfit, init_expfit
+            from ..models.modal import to_modal
+
+            template = {
+                "expfit": init_expfit(
+                    int(meta["expfit_modes"]),
+                    int(meta["real_input_size"]),
+                ),
+                "lstm": init_seq2seq(
+                    jax.random.PRNGKey(0),
+                    meta["input_size"],
+                    meta["hidden_size"],
+                    meta["num_layers_encoder"],
+                    meta["bidirectional"],
+                    dtype=jnp.dtype(sur.dtype),
+                ),
+            }
+            params = load_params(ctx.store.model_file(r), template)
+            mu = np.asarray(meta["modal_mean"], dtype=np.float64)
+            basis = np.asarray(meta["modal_basis"], dtype=np.float64)
+            # cross-check the residual scaling like the raw-trace path:
+            # rebuild the residual from the stored trace + sidecar expfit
+            from .model_training import effective_filter as _eff
+
+            trace = load_displacement(ctx.store.shared_dof_h5(r)).T
+            co = to_modal(trace, mu, basis)
+            res = co - eval_expfit(
+                params["expfit"], np.arange(len(co), dtype=float),
+                float(meta["expfit_ramp_end_row"]),
+            )
+            X, Y = strided_windows(
+                res, sur.n_past,
+                sur.n_future * int(meta.get("rollout_windows", 1) or 1),
+                _eff(ctx.cfg), sur.cut_off,
+            )
+            _, _, smax, smin = scale_to_zero_one(
+                X, Y, mode=meta.get("scale_mode", "joint")
+            )
+            meta_max = np.asarray(meta["scale_max"], dtype=np.float64)
+            meta_min = np.asarray(meta["scale_min"], dtype=np.float64)
+            D_real = X.shape[-1]
+            if not np.allclose(
+                np.asarray(smax).reshape(-1),
+                meta_max.reshape(-1)[:D_real], rtol=1e-10,
+            ) or not np.allclose(
+                np.asarray(smin).reshape(-1),
+                meta_min.reshape(-1)[:D_real], rtol=1e-10,
+            ):
+                raise ValueError(
+                    f"rank {r}: hybrid residual scaling drifted between "
+                    f"training and online"
+                )
+            models.append(
+                (
+                    params,
+                    meta_max if meta_max.ndim else float(meta_max),
+                    meta_min if meta_min.ndim else float(meta_min),
+                    int(meta["input_size"]),
+                    True,
+                    (mu, basis),
+                    1,
+                    meta,
+                )
+            )
+            continue
         if meta.get("arch", "lstm") == "linear":
             from ..models.linear import init_linear
 
@@ -299,7 +368,7 @@ def modal_reconstruct(coefs, modal, fmaskv):
 
 def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
                             modal=None, ens: int = 1,
-                            expfit: bool = False):
+                            expfit: bool = False, hybrid: bool = False):
     """Build the fused block-group executor: ``nb`` blocks of the online
     schedule — phase-interleaved prediction, owner consensus, the
     comm-free ``block``-step scan, and the history roll — as ONE compiled
@@ -329,6 +398,7 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
 
         def one_block(c, xs):
             d0b, dnb, tb, hist = c
+            base = None
             if expfit:
                 # arch="expfit": the block's mode coefficients were
                 # evaluated closed-form on host (models/expfit.py) and
@@ -337,6 +407,22 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
                 blockpred = modal_reconstruct(
                     xs, mavs if mavs else None, fmaskv
                 )
+            elif hybrid:
+                # arch="hybrid": open-loop expfit base (scan input, like
+                # expfit mode) + the stacked LSTM's RESIDUAL prediction.
+                # ``hist`` holds the residual history (physical shared
+                # rows minus the base), so the LSTM's modal projection
+                # must not re-subtract the mean — mu lives in the base.
+                base = modal_reconstruct(xs, mavs if mavs else None,
+                                         fmaskv)
+                mz = (
+                    (jnp.zeros_like(mavs[0]), mavs[1], mavs[2])
+                    if mavs else None
+                )
+                resid = modal_predict_stacked(
+                    sparams, hist, smaxv, sminv, sur, mz, fmaskv, ens=ens,
+                )
+                blockpred = base + resid.astype(base.dtype)
             else:
                 blockpred = modal_predict_stacked(
                     sparams, hist, smaxv, sminv, sur,
@@ -367,14 +453,18 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
                 d0b, dnb, tb, block, sync=False, preds=preds,
                 record="all", save_every=se_run,
             )
+            roll = (
+                shared_b - base.astype(shared_b.dtype)
+                if hybrid else shared_b
+            )
             hist = jnp.concatenate(
-                [hist, shared_b.astype(hist.dtype)], axis=1
+                [hist, roll.astype(hist.dtype)], axis=1
             )[:, -W:]
             return (d1, dprev, t1, hist), traj_b
 
         (d0c, dnc, tc, hist), trajs = jax.lax.scan(
             one_block, (d0c, dnc, tc, hist),
-            coefs if expfit else None, length=nb,
+            coefs if (expfit or hybrid) else None, length=nb,
         )
         return (d0c, dnc, tc), hist, trajs
 
@@ -424,7 +514,7 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
             _bg_cache[nb] = fn
         return fn(data, d0c, dnc, tc, hist, sparams, smaxv, sminv,
                   fmaskv, cnt_global, tuple(modal) if modal else (),
-                  coefs if expfit else ())
+                  coefs if (expfit or hybrid) else ())
 
     return run_block_group
 
@@ -468,8 +558,17 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
     ens_m = ens_set.pop() if ens_set else 1
     archs = {(m[7] or {}).get("arch", "lstm") for m in models}
     expfit_on = archs == {"expfit"}
-    if "expfit" in archs and not expfit_on:
+    hybrid_on = archs == {"hybrid"}
+    if ("expfit" in archs and not expfit_on) or (
+        "hybrid" in archs and not hybrid_on
+    ):
         raise ValueError(f"mixed surrogate arches across ranks: {archs}")
+    if hybrid_on and sur.pred_smooth:
+        raise ValueError(
+            "pred_smooth is not supported with arch='hybrid' (the "
+            "history window holds residual rows; the modal basis is "
+            "already a spatial band-limit)"
+        )
     if expfit_on:
         # host-evaluated open-loop surrogate: always the stacked fused
         # path; uniform K required only in modal mode (raw channels are
@@ -498,7 +597,8 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             smin_v = jnp.zeros((P,), dtype=jnp.dtype(sur.dtype))
         else:
             stacked_params = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[m[0] for m in models]
+                lambda *xs: jnp.stack(xs),
+                *[m[0]["lstm"] if hybrid_on else m[0] for m in models],
             )
             smax_v = jnp.asarray(
                 [m[1] for m in models], dtype=jnp.dtype(sur.dtype)
@@ -533,9 +633,15 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
     # model is a closed-form function of time, so there is nothing to
     # feed back); blocks ship to the device as scan inputs per group.
     coef_rows = None
-    if expfit_on:
+    base_hist = None  # hybrid: physical base at the warm-up history rows
+    if expfit_on or hybrid_on:
         from ..models.expfit import eval_expfit
 
+        if hybrid_on and not stacked_ok:
+            raise ValueError(
+                "arch='hybrid' requires the stacked online path "
+                "(uniform modal_dim across ranks)"
+            )
         T_pred = num_steps - n_sync
         Kfeed = models[0][3] if modal_on else S3
         if not modal_on and P * T_pred * S3 * 4 > 1_000_000_000:
@@ -547,13 +653,28 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             )
         coef_rows = np.zeros((P, T_pred, Kfeed), dtype=np.float32)
         steps = np.arange(n_sync, num_steps, dtype=np.float64)
+        W_h = sur.n_past * sur.filter_size
+        if hybrid_on:
+            base_hist = np.zeros((P, W_h, S3))
         for r, m in enumerate(models):
             meta_r = m[7]
-            rows = steps / float(meta_r.get("save_every", 1) or 1)
+            pr = m[0]["expfit"] if hybrid_on else m[0]
+            se_r = float(meta_r.get("save_every", 1) or 1)
+            rows = steps / se_r
             co = eval_expfit(
-                m[0], rows, float(meta_r["expfit_ramp_end_row"])
+                pr, rows, float(meta_r["expfit_ramp_end_row"])
             )  # (T_pred, C_r)
             coef_rows[r, :, : co.shape[1]] = co.astype(np.float32)
+            if hybrid_on:
+                hrows = (
+                    np.arange(n_sync - W_h, n_sync, dtype=np.float64)
+                    / se_r
+                )
+                ch = eval_expfit(
+                    pr, hrows, float(meta_r["expfit_ramp_end_row"])
+                )
+                mu_r, basis_r = m[5]
+                base_hist[r, :, : mu_r.shape[0]] = ch @ basis_r + mu_r
 
         def expfit_block_preds(b0: int, n: int) -> np.ndarray:
             """Physical (P, n, S3) predictions for steps
@@ -687,10 +808,14 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
 
         from ..models.predictor import phase_interleaved_predict_stacked
 
-        # device-resident trailing history window (one H2D at start)
-        hist_dev = jnp.asarray(
-            shared0[:, -W:], dtype=jnp.dtype(sur.dtype)
-        )
+        # device-resident trailing history window (one H2D at start);
+        # arch="hybrid" keeps the RESIDUAL history (measured rows minus
+        # the expfit base — post-warm-up it becomes the residual LSTM's
+        # own feedback, matching its training signal)
+        h0 = np.asarray(shared0[:, -W:], dtype=np.float64)
+        if hybrid_on and not start_steps:
+            h0 = h0 - base_hist
+        hist_dev = jnp.asarray(h0, dtype=jnp.dtype(sur.dtype))
 
         # The whole block pipeline — phase-interleaved prediction,
         # owner consensus, the comm-free 3000-step scan, and the history
@@ -704,7 +829,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         run_block_group = make_block_group_runner(
             solver, sur, block=block, se_run=se_run,
             state_dtype=state_dtype, W=W, modal=modal_pack, ens=ens_m,
-            expfit=expfit_on,
+            expfit=expfit_on, hybrid=hybrid_on,
         )
 
         full_blocks = (num_steps - n_sync) // block
@@ -760,7 +885,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 nb = min(nb, resync - since_resync)
             d0c, dnc, tc = carry
             coefs_g = None
-            if expfit_on:
+            if expfit_on or hybrid_on:
                 lo = done_blocks * block
                 coefs_g = np.moveaxis(
                     coef_rows[:, lo : lo + nb * block].reshape(
@@ -798,10 +923,21 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 # x10-30 amplitude per hard-resync block). The smoothstep
                 # ramp releases it quasi-statically and re-anchors the
                 # prediction history to real dynamics.
+                base_s = None
                 if expfit_on:
                     blockpred = jnp.asarray(
                         expfit_block_preds(done_blocks, block)
                     )
+                elif hybrid_on:
+                    base_s = jnp.asarray(
+                        expfit_block_preds(done_blocks, block)
+                    )
+                    mz = (jnp.zeros_like(modal_pack[0]), modal_pack[1],
+                          modal_pack[2])
+                    blockpred = base_s + modal_predict_stacked(
+                        stacked_params, hist_dev, smax_v, smin_v, sur,
+                        mz, fmask_v, ens=ens_m,
+                    ).astype(base_s.dtype)
                 else:
                     blockpred = modal_predict_stacked(
                         stacked_params, hist_dev, smax_v, smin_v, sur,
@@ -824,8 +960,11 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                     d0c, dnc, tc, block, sync=True, preds=preds_s,
                     blend=wramp, record="all", save_every=se_run,
                 )
+                roll_s = jnp.asarray(shared_s)
+                if hybrid_on:
+                    roll_s = roll_s - base_s.astype(roll_s.dtype)
                 hist_dev = jnp.concatenate(
-                    [hist_dev, jnp.asarray(shared_s, hist_dev.dtype)],
+                    [hist_dev, roll_s.astype(hist_dev.dtype)],
                     axis=1,
                 )[:, -W:]
                 flush_pending()
@@ -851,6 +990,14 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 blockpred = jnp.asarray(
                     expfit_block_preds(full_blocks, n)
                 )
+            elif hybrid_on:
+                base_t = jnp.asarray(expfit_block_preds(full_blocks, n))
+                mz = (jnp.zeros_like(modal_pack[0]), modal_pack[1],
+                      modal_pack[2])
+                blockpred = base_t + modal_predict_stacked(
+                    stacked_params, hist_dev, smax_v, smin_v, sur,
+                    mz, fmask_v, ens=ens_m,
+                )[:, :n, :].astype(base_t.dtype)
             else:
                 blockpred = modal_predict_stacked(
                     stacked_params, hist_dev, smax_v, smin_v, sur,

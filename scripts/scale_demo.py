@@ -43,7 +43,7 @@ def main():
                     help="surrogate feature scaling (per_feature for "
                          "high shard counts, models/data.py)")
     ap.add_argument("--arch", type=str, default=None,
-                    choices=("lstm", "linear", "expfit"),
+                    choices=("lstm", "linear", "expfit", "hybrid"),
                     help="surrogate architecture (default: config lstm)")
     ap.add_argument("--modal", type=int, default=0,
                     help="surrogate.modal_dim (PCA mode coefficients)")
