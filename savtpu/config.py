@@ -79,7 +79,11 @@ class SolverConfig:
 @dataclass
 class PartitionConfig:
     n_parts: int = 2
-    method: str = "rcb"       # "rcb" | "graph" (native C++) | "slab"
+    method: str = "rcb"       # "rcb" | "graph" (native C++) | "slab" |
+                              # "box" (equal-box grid on structured
+                              # meshes: minimal-cut divisible
+                              # factorization, stencil-NH-eligible;
+                              # falls back to rcb off-grid)
     dirichlet_axis: int = 0   # clamped face: coordinate == dirichlet_value
     dirichlet_value: float = 0.0
     dirichlet_tol: float = 1e-9

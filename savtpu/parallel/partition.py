@@ -73,7 +73,64 @@ def partition_elements(
         return epart
     if method == "graph":
         return _partition_graph(cells, centroids, n_parts)
+    if method == "box":
+        epart = _partition_box(cells, points, n_parts)
+        if epart is not None:
+            return epart
+        # not a structured grid / no divisible box factorization — the
+        # geometric bisection is the general-mesh answer
+        epart = np.zeros(len(cells), dtype=np.int64)
+        _rcb(np.arange(len(cells)), centroids, 0, n_parts, epart)
+        return epart
     raise ValueError(f"unknown partition method {method!r}")
+
+
+def _partition_box(cells, points, n_parts):
+    """Equal-box grid partition of a structured Kuhn-tet mesh: factor
+    n_parts into (px, py, pz) dividing the cell grid with minimal
+    internal interface area. Every part is a full congruent box — the
+    layout the stencil Neo-Hookean kernel (parallel/stencil.py) needs,
+    and a strictly smaller cut than 1-D slabs at equal part count.
+    Returns None when the mesh is not the structured grid or no
+    divisible factorization exists (caller falls back to RCB)."""
+    from types import SimpleNamespace
+
+    from . import stencil
+
+    s = stencil.detect_structured(
+        SimpleNamespace(tetra=np.asarray(cells), points=np.asarray(points))
+    )
+    if s is None:
+        return None
+    nx, ny, nz, _ = s
+    best = None
+    for px in range(1, n_parts + 1):
+        if n_parts % px or nx % px:
+            continue
+        rest = n_parts // px
+        for py in range(1, rest + 1):
+            if rest % py or ny % py:
+                continue
+            pz = rest // py
+            if nz % pz:
+                continue
+            area = (
+                (px - 1) * ny * nz
+                + (py - 1) * nx * nz
+                + (pz - 1) * nx * ny
+            )
+            if best is None or area < best[0]:
+                best = (area, px, py, pz)
+    if best is None:
+        return None
+    _, px, py, pz = best
+    bx, by, bz = nx // px, ny // py, nz // pz
+    cid = np.arange(nx * ny * nz, dtype=np.int64)
+    iz = cid % nz
+    iy = (cid // nz) % ny
+    ix = cid // (ny * nz)
+    part_of_cell = ((ix // bx) * py + iy // by) * pz + iz // bz
+    return np.repeat(part_of_cell, 6)  # 6 Kuhn tets per hex, cell-major
 
 
 def _rcb(idx, centroids, base, k, epart):

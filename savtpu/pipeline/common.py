@@ -220,6 +220,9 @@ def build_context(
         n_parts=cfg.partition.n_parts,
         elements=len(prob.mesh.tetra),
         fint_mode=sp.fint_mode,
+        nh_stencil_dims=(
+            list(sp.nhs_dims) if sp.nhs_dims is not None else None
+        ),
         **tmarks,
     )
     return StageContext(cfg, prob, maps, sp, solver, store, warm_thread=warm_th)

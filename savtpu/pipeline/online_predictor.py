@@ -754,11 +754,23 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         )
 
     rec_off = 0
+    # stage-4 wall breakdown (logged at the end): where the gap between
+    # the kernel floor and end-to-end wall goes (VERDICT r3 #3) —
+    # fetch_s counts blocking D2H+compute waits in np.asarray of device
+    # segments, write_s the host memmap/array stores.
+    tprof = {"fetch_s": 0.0, "write_s": 0.0, "warmup_s": 0.0,
+             "first_group_s": 0.0}
 
     def write_seg(arr):
         nonlocal rec_off
         n = arr.shape[1]
-        traj_full[:, rec_off : rec_off + n] = np.asarray(arr)
+        t0 = time.perf_counter()
+        host = np.asarray(arr)
+        t1 = time.perf_counter()
+        traj_full[:, rec_off : rec_off + n] = host
+        t2 = time.perf_counter()
+        tprof["fetch_s"] += t1 - t0
+        tprof["write_s"] += t2 - t1
         rec_off += n
 
     # Double-buffered offload: the group loop dispatches group k+1 BEFORE
@@ -793,10 +805,12 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
     else:
         d0 = sp.localize(prob.d0)
         dn = sp.localize(prob.dn)
+        _tw = time.perf_counter()
         (traj0, shared0), carry = solver.run_streamed(
             d0, dn, 0.0, n_sync, sync=True, record="all",
             save_every=se_run,
         )
+        tprof["warmup_s"] = time.perf_counter() - _tw
         if shared_hist is not None:
             shared_hist[:, :n_sync] = shared0
         write_seg(traj0)
@@ -893,10 +907,18 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                     ),
                     0, 1,
                 )  # (nb, P, block, K)
+            _tg = time.perf_counter()
             carry, hist_dev, trajs_g = run_block_group(
                 sp_data, d0c, dnc, tc, hist_dev, stacked_params,
                 smax_v, smin_v, fmask_v, nb, coefs=coefs_g,
             )
+            if not tprof["first_group_s"]:
+                # first dispatch blocks on tracing + (remote) compilation
+                # of the group program; later dispatches are async
+                import jax as _jax
+
+                _jax.block_until_ready(carry)
+                tprof["first_group_s"] = time.perf_counter() - _tg
             # (nb, P, block//se, DL) -> (P, nb*block//se, DL); offload to
             # host per group so device memory and the final fetch stay
             # bounded at large P*DL (one ~1GB end-of-run fetch crashed the
@@ -1133,6 +1155,10 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         resync_blocks=int(getattr(sur, "resync_blocks", 0) or 0),
         stacked_predictor=bool(stacked_ok),
         n_parts=P,
+        warmup_s=round(tprof["warmup_s"], 3),
+        first_group_s=round(tprof["first_group_s"], 3),
+        fetch_s=round(tprof["fetch_s"], 3),
+        write_s=round(tprof["write_s"], 3),
     )
 
     assert rec_off == n_rec_total, (rec_off, n_rec_total)

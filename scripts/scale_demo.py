@@ -56,6 +56,10 @@ def main():
                          "raise past 0.5 when the ramp eats the window "
                          "at fine dt — see docs/STATUS_r3.md 192^3)")
     ap.add_argument("--no-consensus", action="store_true")
+    ap.add_argument("--pmethod", type=str, default=None,
+                    choices=("rcb", "graph", "slab", "box"),
+                    help="partition method (box = stencil-NH-eligible "
+                         "equal-box grid on structured meshes)")
     ap.add_argument("--material", type=str, default=None,
                     choices=("linear", "neo_hookean"),
                     help="material.model (neo_hookean = per-step "
@@ -92,6 +96,8 @@ def main():
     cfg.surrogate.scale_mode = args.scale_mode
     if args.material:
         cfg.material.model = args.material
+    if args.pmethod:
+        cfg.partition.method = args.pmethod
     if args.arch:
         cfg.surrogate.arch = args.arch
     if args.modal:

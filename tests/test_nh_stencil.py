@@ -130,3 +130,28 @@ def test_unaligned_partition_falls_back():
     dn = sp.localize(prob.dn)
     (traj, _), _ = ShardedSolver(sp).run(d0, dn, 0.0, 20, sync=True)
     assert np.isfinite(np.asarray(traj)).all()
+
+
+def test_box_partition_method():
+    """partition method="box": equal congruent boxes on structured
+    meshes (stencil-NH-eligible), minimal-cut divisible factorization,
+    RCB fallback off-grid."""
+    from savtpu.parallel.partition import partition_elements
+
+    cfg, prob = _problem((12, 4, 2))
+    epart = partition_elements(prob.mesh.tetra, prob.mesh.points, 8, "box")
+    sizes = np.bincount(epart)
+    assert sizes.min() == sizes.max() == len(prob.mesh.tetra) // 8
+    maps = _maps(prob, 8, method="box")
+    box = stencil.detect_box_partition(prob.mesh, maps)
+    assert box is not None
+    # smallest-interface factorization of 8 over (12, 4, 2) cells is
+    # (4, 2, 1): area = 3*4*2 + 1*12*2 + 0 = 48
+    assert box.node_dims == (4, 3, 3)
+    # off-grid mesh falls back to RCB (still a valid partition)
+    prob.mesh.points[3] += 0.01
+    epart2 = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 8, "box"
+    )
+    assert np.bincount(epart2).sum() == len(prob.mesh.tetra)
+    assert len(np.unique(epart2)) == 8
