@@ -56,7 +56,12 @@ class SolverConfig:
                               # "pallas" | "auto"
     exchange_mode: str = "psum"  # halo exchange: "psum" (global shared
                                  # all-reduce) | "permute" (neighbor-packed
-                                 # collective_permute rounds)
+                                 # collective_permute rounds) | "grid"
+                                 # (structured box partitions only:
+                                 # dimension-split face-plane sums, zero
+                                 # gather/scatter — beats the XLA scatter
+                                 # floor on one chip; pair with
+                                 # partition.method="box")
     dtype: str = "float64"    # state dtype for the time loop
     # double-word (hi, lo) state roll: f64-class trajectories on TPU
     # hardware that has no float64 (docs/PRECISION.md). None = auto:

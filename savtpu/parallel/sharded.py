@@ -224,6 +224,15 @@ class ShardedProblem:
     nhs_dims: Optional[tuple] = None          # per-part node box (NX,NY,NZ)
     nhs_G: Optional[np.ndarray] = None        # (6, 4, 3) per-type gradients
     nhs_dJw: Optional[np.ndarray] = None      # (6,) per-type detJ * sum(w)
+    # structured-grid halo exchange (exchange_mode == 'grid'): on a box
+    # partition with lexicographic local node order, the shared-DOF
+    # reduction is a dimension-split sum of overlapping box FACE PLANES —
+    # 6 static slice pairs, zero gather/scatter instructions (the XLA
+    # scatter-class floor of ~5.5 ms at 384^3/256 does not apply).
+    grid_pdims: Optional[tuple] = None        # (px, py, pz) part-box grid
+    grid_ndims: Optional[tuple] = None        # per-part node box (NX,NY,NZ)
+    grid_perm: Optional[jnp.ndarray] = None   # (P,) part id at box-lex slot
+    grid_inv: Optional[jnp.ndarray] = None    # (P,) box-lex slot of part
 
     # ------------------------------------------------------------------
     @classmethod
@@ -260,10 +269,10 @@ class ShardedProblem:
                 f"unknown fint_mode {fint_mode!r}; expected one of "
                 f"{sorted(valid_modes)}"
             )
-        if exchange_mode not in ("psum", "permute"):
+        if exchange_mode not in ("psum", "permute", "grid"):
             raise ValueError(
                 f"unknown exchange_mode {exchange_mode!r}; expected "
-                f"'psum' or 'permute'"
+                f"'psum', 'permute' or 'grid'"
             )
         if prob.deg != 1:
             raise NotImplementedError(
@@ -275,7 +284,23 @@ class ShardedProblem:
             # block-tridiagonal banded (RCM) fastest beyond
             DL_est = 3 * maps.max_local_nodes + 1
             fint_mode = "dense" if DL_est <= 1536 else "banded"
-        if fint_mode == "banded":
+        grid_box = None
+        if exchange_mode == "grid":
+            from . import stencil as _stencil
+
+            grid_box = _stencil.detect_box_partition(prob.mesh, maps)
+            if grid_box is None:
+                raise ValueError(
+                    "exchange_mode='grid' requires a structured box "
+                    "partition (partition method='box' or 'slab' on a "
+                    "generated structured mesh); use 'psum' for "
+                    "unstructured meshes/partitions"
+                )
+            # the face-plane exchange needs lexicographic local node
+            # order; it doubles as a banded ordering (bandwidth ~
+            # 3*(NY+1)*(NZ+1)), so banded mode skips RCM here
+            maps = _stencil.lex_reorder_maps(maps)
+        if fint_mode == "banded" and grid_box is None:
             # banded storage needs small local bandwidth: RCM-reorder the
             # local node lists first (sp.maps is then the authoritative
             # map set for artifacts)
@@ -461,6 +486,24 @@ class ShardedProblem:
                 nh_gather=jnp.asarray(nh_gather),
             )
 
+        grid_kwargs = {}
+        if grid_box is not None:
+            orig = np.asarray(grid_box.origins)  # (P, 3) cell origins
+            bx, by, bz = (d - 1 for d in grid_box.node_dims)
+            pi, pj, pk = orig[:, 0] // bx, orig[:, 1] // by, orig[:, 2] // bz
+            px = int(pi.max()) + 1
+            py = int(pj.max()) + 1
+            pz = int(pk.max()) + 1
+            slot_of_part = (pi * py + pj) * pz + pk  # (P,)
+            perm = np.empty(npn, dtype=np.int32)    # part id at each slot
+            perm[slot_of_part] = np.arange(npn)
+            grid_kwargs = dict(
+                grid_pdims=(px, py, pz),
+                grid_ndims=grid_box.node_dims,
+                grid_perm=jnp.asarray(perm),
+                grid_inv=jnp.asarray(slot_of_part.astype(np.int32)),
+            )
+
         nx_kwargs = {}
         if exchange_mode == "permute":
             from .halo import build_neighbor_exchange
@@ -479,6 +522,7 @@ class ShardedProblem:
             exchange_mode=exchange_mode,
             **nh_kwargs,
             **nx_kwargs,
+            **grid_kwargs,
             shared_onehot=shared_onehot,
             ell_blocks=ell_blocks,
             ell_cols=ell_cols,
@@ -783,6 +827,41 @@ class ShardedProblem:
             [flat, jnp.zeros((Pn, self.DL - 3 * L), dtype=dt_)], axis=1
         )
 
+    def _exchange_grid(self, F_int):
+        """Halo exchange as a dimension-split face-plane sum on the part
+        box grid (exchange_mode='grid').
+
+        Same contract as _exchange (reference Tools/Distributed_tools.py:
+        77-93: every owner's copy of a shared DOF ends up holding the sum
+        of all owners' contributions), but with ZERO irregular memory
+        ops: boxes overlap at 1-node face planes, and summing the x, then
+        y, then z overlapping planes propagates edge/corner contributions
+        exactly (after the x pass an x-face node holds its x-pair sum;
+        the y pass sums those across y, and so on). 6 static slice pairs
+        total — the ~5.5 ms/step XLA scatter floor measured at 384^3/256
+        (docs/STATUS_r3.md) does not apply to this formulation."""
+        P = self.n_parts
+        NX, NY, NZ = self.grid_ndims
+        px, py, pz = self.grid_pdims
+        L = NX * NY * NZ
+        v = F_int[self.grid_perm, : 3 * L].reshape(
+            px, py, pz, NX, NY, NZ, 3
+        )
+        if px > 1:
+            s = v[:-1, :, :, NX - 1] + v[1:, :, :, 0]
+            v = v.at[:-1, :, :, NX - 1].set(s).at[1:, :, :, 0].set(s)
+        if py > 1:
+            s = v[:, :-1, :, :, NY - 1] + v[:, 1:, :, :, 0]
+            v = v.at[:, :-1, :, :, NY - 1].set(s).at[:, 1:, :, :, 0].set(s)
+        if pz > 1:
+            s = v[:, :, :-1, :, :, NZ - 1] + v[:, :, 1:, :, :, 0]
+            v = (
+                v.at[:, :, :-1, :, :, NZ - 1].set(s)
+                .at[:, :, 1:, :, :, 0].set(s)
+            )
+        flat = v.reshape(P, 3 * L)[self.grid_inv]
+        return jnp.concatenate([flat, F_int[:, 3 * L :]], axis=1)
+
     def _exchange(self, F_int, reduce_fn):
         # One FLAT scatter-add over all (part, slot) pairs into the (SD,)
         # global shared vector, instead of a vmapped per-part scatter that
@@ -1082,6 +1161,8 @@ class ShardedProblem:
                     F_int = self._exchange_permute(
                         F_int, permute_fn or self._emulated_permute
                     )
+                elif self.exchange_mode == "grid":
+                    F_int = self._exchange_grid(F_int)
                 else:
                     F_int = self._exchange(F_int, reduce_fn)
             return F_int
@@ -1298,6 +1379,12 @@ class ShardedSolver:
                     f"and needs one part per device ({sp.n_parts} parts, "
                     f"{n_dev} devices); use exchange_mode='psum' for "
                     "multiple parts per device"
+                )
+            if sp.exchange_mode == "grid":
+                raise ValueError(
+                    "exchange_mode='grid' sums face planes across ALL "
+                    "parts on one device (single-chip emulation); use "
+                    "'psum' or 'permute' under a device mesh"
                 )
 
     # measured ceiling for the whole-scan kernel's resident set (v5e has

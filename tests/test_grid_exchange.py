@@ -1,0 +1,127 @@
+"""exchange_mode="grid": structured face-plane halo exchange.
+
+On a box partition with lexicographic local node order, the shared-DOF
+reduction is a dimension-split sum of overlapping box face planes — zero
+gather/scatter (the XLA scatter-class floor measured in docs/STATUS_r3.md
+does not apply). Must match the psum exchange's trajectories to rounding
+on every fint mode (same contract: Tools/Distributed_tools.py:77-93).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from savtpu.config import Config
+from savtpu.mesh import dirichlet_nodes
+from savtpu.ops.material import NeoHookean
+from savtpu.parallel import (
+    ShardedProblem,
+    build_partition_maps,
+    partition_elements,
+)
+from savtpu.parallel.sharded import ShardedSolver
+from savtpu.solvers import setup_problem
+
+
+def _setup(cells=(8, 4, 2), n_parts=8):
+    cfg = Config()
+    cfg.beam_cells = cells
+    cfg.beam_extent = tuple(float(c) for c in cells)
+    prob = setup_problem(cfg)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, n_parts, method="box"
+    )
+    dn = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn
+    )
+    return prob, maps
+
+
+@pytest.mark.parametrize("fint_mode", ["dense", "banded"])
+def test_grid_matches_psum_trajectory(fint_mode):
+    """Multi-axis box grid (the (4,2,1) factorization of 8 over 8x4x2
+    cells) so the x, y face passes and their shared edges are all
+    exercised."""
+    prob, maps = _setup()
+    sps = {}
+    for ex in ("psum", "grid"):
+        sps[ex] = ShardedProblem.build(
+            prob, maps, fint_mode=fint_mode, exchange_mode=ex,
+        )
+    steps = 100
+    out = {}
+    for ex, sp in sps.items():
+        d0 = sp.localize(prob.d0)
+        dn = sp.localize(prob.dn)
+        (traj, _), _ = ShardedSolver(sp).run(d0, dn, 0.0, steps, sync=True)
+        out[ex] = np.stack(
+            [
+                sp.globalize(np.asarray(traj)[:, t, :], prob.ndof)
+                for t in range(0, steps, 25)
+            ]
+        )
+    scale = max(np.abs(out["psum"]).max(), 1e-30)
+    err = np.abs(out["psum"] - out["grid"]).max() / scale
+    assert err < 1e-9, err
+
+
+def test_grid_single_exchange_exact():
+    """One exchange application on random forces: every owner's copy of a
+    shared DOF holds the full owner sum, interior DOFs untouched."""
+    prob, maps = _setup()
+    sp_p = ShardedProblem.build(prob, maps, exchange_mode="psum")
+    sp_g = ShardedProblem.build(prob, maps, exchange_mode="grid")
+    rng = np.random.default_rng(0)
+    # same physical per-DOF forces localized through each build's maps
+    fg = rng.normal(size=(prob.ndof,))
+    Fp = sp_p.localize(fg)
+    Fg = sp_g.localize(fg)
+    # localize duplicates shared DOFs; the exchange sums them
+    ep = np.asarray(sp_p._exchange(Fp, lambda x: x))
+    eg = np.asarray(sp_g._exchange_grid(Fg))
+    gp = sp_p.globalize(ep, prob.ndof)
+    gg = sp_g.globalize(eg, prob.ndof)
+    assert np.allclose(gp, gg, rtol=0, atol=1e-12 * np.abs(gp).max())
+
+
+def test_grid_with_nh_stencil():
+    """grid exchange + stencil NH forces (the box-native fast pair)."""
+    prob, maps = _setup()
+    mat = NeoHookean.from_engineering(E=1e6, nu=0.3, rho=1.0, fz=0.5)
+    sp_p = ShardedProblem.build(
+        prob, maps, material=mat, exchange_mode="psum"
+    )
+    sp_g = ShardedProblem.build(
+        prob, maps, material=mat, exchange_mode="grid"
+    )
+    assert sp_g.nhs_dims is not None
+    steps = 60
+    out = {}
+    for key, sp in (("p", sp_p), ("g", sp_g)):
+        d0 = sp.localize(prob.d0)
+        dn = sp.localize(prob.dn)
+        (traj, _), _ = ShardedSolver(sp).run(d0, dn, 0.0, steps, sync=True)
+        out[key] = sp.globalize(np.asarray(traj)[:, -1, :], prob.ndof)
+    scale = max(np.abs(out["p"]).max(), 1e-30)
+    assert np.abs(out["p"] - out["g"]).max() / scale < 1e-9
+
+
+def test_grid_rejects_nonbox_partition():
+    cfg = Config()
+    cfg.beam_cells = (7, 2, 2)
+    cfg.beam_extent = (7.0, 2.0, 2.0)
+    prob = setup_problem(cfg)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 3, method="graph"
+    )
+    dn = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn
+    )
+    from savtpu.parallel import stencil
+
+    if stencil.detect_box_partition(prob.mesh, maps) is not None:
+        pytest.skip("graph partition happened to be box-aligned")
+    with pytest.raises(ValueError, match="grid"):
+        ShardedProblem.build(prob, maps, exchange_mode="grid")
