@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--parts", type=int, default=256)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--mode", default="banded")
+    ap.add_argument("--pmethod", default="rcb",
+                    choices=("rcb", "box", "slab", "graph"))
     args = ap.parse_args()
 
     cfg = Config()
@@ -63,7 +65,7 @@ def main():
     t0 = time.time()
     prob = setup_problem(cfg, dtype=jnp.float32)
     epart = partition_elements(
-        prob.mesh.tetra, prob.mesh.points, args.parts, "rcb"
+        prob.mesh.tetra, prob.mesh.points, args.parts, args.pmethod
     )
     dn = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
     maps = build_partition_maps(
@@ -255,6 +257,46 @@ def main():
         )
         return c[0]
 
+    # ---- structured face-plane exchange (exchange_mode="grid") --------
+    # own build: grid requires box partition + lex node order
+    grid_rows = []
+    from savtpu.parallel import stencil as _stencil
+
+    if _stencil.detect_box_partition(prob.mesh, maps) is not None:
+        sp_g = ShardedProblem.build(
+            prob, maps, fint_mode=args.mode, dtype=jnp.float32,
+            compensated=True, exchange_mode="grid",
+        )
+        sol_g = ShardedSolver(sp_g)
+        data_g = sol_g._data()
+        d0_g = sp_g.localize(np.zeros(prob.ndof, np.float32))
+
+        @jax.jit
+        def exchanged_grid(data, d):
+            lsp = sol_g._local_view(data)
+            (_, _), c = lsp.stacked_run(d, d, 0.0, N, sync=True,
+                                        record="none")
+            return c[0]
+
+        @jax.jit
+        def grid_only(data, d):
+            lsp = sol_g._local_view(data)
+
+            def wrap(x, _):
+                return x + 1e-30 * lsp._exchange_grid(x), None
+
+            x, _ = jax.lax.scan(wrap, d, None, length=N)
+            return x
+
+        grid_rows = [
+            ("exchanged full step (GRID)", exchanged_grid, N, data_g, d0_g),
+            ("exchange only (GRID face-planes)", grid_only, N, data_g,
+             d0_g),
+        ]
+    else:
+        print("[grid] partition not box-aligned — grid exchange skipped "
+              "(use --pmethod box)")
+
     rows = [
         ("exchanged full step (record none)", exchanged, N),
         ("exchanged + record all/se=20", exchanged_recorded, Nrec),
@@ -265,11 +307,14 @@ def main():
         *[(name, fn, N) for name, fn in ex_rows],
         ("translation-mean only", tmean_only, N),
         ("gather_shared only", gather_only, N),
+        *grid_rows,
     ]
     print(f"\n{'component':40s}  ms/step   steps/s")
-    for name, fn, steps in rows:
+    for row in rows:
+        name, fn, steps = row[:3]
+        dd, xx = (row[3], row[4]) if len(row) > 3 else (data, d0)
         try:
-            ms = timed(fn, data, d0, steps=steps)
+            ms = timed(fn, dd, xx, steps=steps)
             print(f"{name:40s}  {ms:7.3f}   {1e3 / ms:8.0f}")
         except Exception as e:
             print(f"{name:40s}  ERROR {type(e).__name__}: {e}")
