@@ -6,6 +6,8 @@ from .assembly import (
     element_dofs,
     assemble_dense,
     assemble_lumped_mass,
+    lumping,
+    lumping_to_vec,
     assemble_force,
     FIntOperator,
 )
@@ -20,6 +22,8 @@ __all__ = [
     "element_dofs",
     "assemble_dense",
     "assemble_lumped_mass",
+    "lumping",
+    "lumping_to_vec",
     "assemble_force",
     "FIntOperator",
 ]

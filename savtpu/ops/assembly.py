@@ -62,6 +62,19 @@ def assemble_lumped_mass(Me, edofs, ndof: int):
     return assemble_vector(rows, edofs, ndof)
 
 
+def lumping(M):
+    """Row-sum lumping to a DIAGONAL MATRIX (reference
+    Tools/commons.py:95-100). The reference's own drivers never call
+    this form (they use the vector form below, as does the whole
+    pipeline here) — provided for API completeness."""
+    return jnp.diag(jnp.asarray(M).sum(axis=1))
+
+
+def lumping_to_vec(M):
+    """Row-sum lumping to a vector (Tools/commons.py:102-106)."""
+    return jnp.asarray(M).sum(axis=1)
+
+
 def apply_dirichlet_dense(K, F, dirichlet_dofs):
     """Strong Dirichlet on a dense system: zero rows/cols, unit diagonal,
     zero rhs — equivalent to the reference's assembly-time row/col skip

@@ -287,3 +287,19 @@ def test_vtk_adversarial_header(tmp_path):
     )
     with pytest.raises(ValueError, match="binary"):
         read_vtk(binf)
+
+
+def test_lumping_matrix_and_vector_forms():
+    """Both lumping forms (Tools/commons.py:95-106): diag(matrix form)
+    == vector form == row sums."""
+    import numpy as np
+
+    from savtpu.ops.assembly import lumping, lumping_to_vec
+
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(12, 12))
+    v = np.asarray(lumping_to_vec(M))
+    D = np.asarray(lumping(M))
+    assert np.allclose(v, M.sum(axis=1))
+    assert np.allclose(np.diag(D), v)
+    assert np.allclose(D - np.diag(np.diag(D)), 0.0)
