@@ -480,14 +480,52 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
     return results
 
 
+def run_grid(cfg: Config, batch_sizes, learning_rates, hidden_sizes,
+             verbose: bool = True):
+    """Hyperparameter grid over (n_B, eta0, n_H) — the reference's
+    triple loop (Model_training.py:19-21). Each combination trains into
+    its own run-tag directory ('nB-10-nH-50-Lr-0.0005-filter=150',
+    config.run_tag), so artifact layouts per combo match the reference's
+    exactly and the online stage picks any combo by setting the same
+    surrogate fields."""
+    import copy
+
+    results = {}
+    for nB in batch_sizes:
+        for lr in learning_rates:
+            for nH in hidden_sizes:
+                c = copy.deepcopy(cfg)
+                c.surrogate.batch_size = int(nB)
+                c.surrogate.learning_rate = float(lr)
+                c.surrogate.hidden_size = int(nH)
+                if verbose:
+                    print(f"[model_training] grid: {c.surrogate.run_tag()}")
+                results[(nB, lr, nH)] = run(c, verbose=verbose)
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="savtpu stage 3: model training")
     ap.add_argument("--config", type=str, default=None)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--grid-batch-sizes", type=int, nargs="+", default=None,
+                    help="n_B grid (reference Model_training.py:19)")
+    ap.add_argument("--grid-lrs", type=float, nargs="+", default=None,
+                    help="eta0 grid (Model_training.py:20)")
+    ap.add_argument("--grid-hidden", type=int, nargs="+", default=None,
+                    help="n_H grid (Model_training.py:21)")
     args = ap.parse_args(argv)
     cfg = Config.from_json(args.config) if args.config else Config()
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
+    if args.grid_batch_sizes or args.grid_lrs or args.grid_hidden:
+        run_grid(
+            cfg,
+            args.grid_batch_sizes or [cfg.surrogate.batch_size],
+            args.grid_lrs or [cfg.surrogate.learning_rate],
+            args.grid_hidden or [cfg.surrogate.hidden_size],
+        )
+        return
     run(cfg)
 
 

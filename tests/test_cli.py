@@ -77,3 +77,27 @@ def test_run_all_cli(tmp_path):
         (tmp_path / "Results" / "comparison_metrics.json").read_text()
     )
     assert metrics
+
+
+def test_stage3_grid(tmp_path):
+    """--grid-* trains one model set per (nB, lr, nH) combination, each
+    in its own reference-named run-tag dir (Model_training.py:19-28)."""
+    from test_pipeline import _smoke_cfg
+
+    from savtpu.io.artifacts import ArtifactStore
+    from savtpu.pipeline import data_prepare, model_training, shared_extraction
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.surrogate.num_epochs = 3
+    data_prepare.run(cfg)
+    shared_extraction.run(cfg)
+    model_training.run_grid(cfg, [2], [2e-3, 1e-3], [8], verbose=False)
+    import copy
+
+    for lr in (2e-3, 1e-3):
+        c = copy.deepcopy(cfg)
+        c.surrogate.learning_rate = lr
+        store = ArtifactStore(c.workdir, c.model_dir, c.surrogate.run_tag())
+        assert f"Lr-{lr}" in c.surrogate.run_tag()
+        for r in range(2):
+            assert store.model_file(r).exists(), (lr, r)
