@@ -53,7 +53,7 @@ def main():
                     help="train surrogates on k PCA mode coefficients "
                          "(modal_dim; retrains stage 3)")
     ap.add_argument("--arch", type=str, default=None,
-                    choices=("lstm", "linear", "expfit"),
+                    choices=("lstm", "linear", "expfit", "hybrid"),
                     help="surrogate architecture (retrains stage 3)")
     ap.add_argument("--order", type=int, default=None,
                     help="expfit_order for --arch expfit")
@@ -79,6 +79,13 @@ def main():
                     help="surrogate.seed (retrains stage 3; for retrain-"
                          "spread estimates)")
     ap.add_argument("--compensated", action="store_true", default=True)
+    ap.add_argument("--pmethod", type=str, default=None,
+                    choices=("rcb", "graph", "slab", "box"),
+                    help="partition method -- MUST match the stage-1 run "
+                         "that produced --dir's artifacts")
+    ap.add_argument("--material", type=str, default=None,
+                    choices=("linear", "neo_hookean"),
+                    help="material.model -- MUST match the stage-1 run")
     ap.add_argument("--skip-retrain", action="store_true",
                     help="reuse the existing Distributed_save models even "
                          "when surrogate knobs are passed (the knobs must "
@@ -106,6 +113,10 @@ def main():
     cfg.surrogate.resync_blocks = args.resync
     cfg.surrogate.pred_consensus = not args.no_consensus
     cfg.surrogate.pred_anchor = args.anchor
+    if args.pmethod:
+        cfg.partition.method = args.pmethod
+    if args.material:
+        cfg.material.model = args.material
     retrain = False
     if args.modal:
         cfg.surrogate.modal_dim = args.modal
