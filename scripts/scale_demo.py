@@ -60,6 +60,10 @@ def main():
                     choices=("rcb", "graph", "slab", "box"),
                     help="partition method (box = stencil-NH-eligible "
                          "equal-box grid on structured meshes)")
+    ap.add_argument("--exchange", type=str, default=None,
+                    choices=("psum", "permute", "grid"),
+                    help="halo exchange (grid = face-plane sums on box "
+                         "partitions; pair with --pmethod box)")
     ap.add_argument("--material", type=str, default=None,
                     choices=("linear", "neo_hookean"),
                     help="material.model (neo_hookean = per-step "
@@ -98,6 +102,8 @@ def main():
         cfg.material.model = args.material
     if args.pmethod:
         cfg.partition.method = args.pmethod
+    if args.exchange:
+        cfg.solver.exchange_mode = args.exchange
     if args.arch:
         cfg.surrogate.arch = args.arch
     if args.modal:
