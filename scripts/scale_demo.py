@@ -64,6 +64,13 @@ def main():
                     choices=("psum", "permute", "grid"),
                     help="halo exchange (grid = face-plane sums on box "
                          "partitions; pair with --pmethod box)")
+    ap.add_argument("--tube", type=int, nargs=3, default=None,
+                    metavar=("NR", "NT", "NZ"),
+                    help="non-beam geometry: annular tube (n_r n_theta "
+                         "n_z cells), written to OUT/tube.msh and read "
+                         "back through the .msh ingestion path; clamps "
+                         "the z=0 end cap (overrides --cells)")
+    ap.add_argument("--tube-length", type=float, default=5.0)
     ap.add_argument("--material", type=str, default=None,
                     choices=("linear", "neo_hookean"),
                     help="material.model (neo_hookean = per-step "
@@ -86,6 +93,16 @@ def main():
     nx, ny, nz = args.cells
     cfg.beam_cells = (nx, ny, nz)
     cfg.beam_extent = (float(nx) / max(ny, 1), 1.0, 1.0)
+    if args.tube:
+        from savtpu.mesh import tube_mesh, write_msh
+
+        n_r, n_t, n_z = args.tube
+        out.mkdir(parents=True, exist_ok=True)
+        mpath = out / "tube.msh"
+        write_msh(mpath, tube_mesh(n_r=n_r, n_theta=n_t, n_z=n_z,
+                                   length=args.tube_length))
+        cfg.mesh_path = str(mpath)
+        cfg.partition.dirichlet_axis = 2  # clamp the z=0 end cap
     cfg.workdir = str(out / "Results")
     cfg.model_dir = str(out / "Distributed_save")
     cfg.partition.n_parts = args.parts
@@ -169,7 +186,8 @@ def main():
 
     summary = {
         "config": {
-            "cells": list(args.cells),
+            "cells": list(args.cells) if not args.tube else None,
+            "tube": list(args.tube) if args.tube else None,
             "parts": args.parts,
             "steps": args.steps,
             "epochs": cfg.surrogate.epochs,
