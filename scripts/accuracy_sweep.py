@@ -37,7 +37,8 @@ if "--f64" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
+from savtpu.pipeline.common import resolve_cache_dir
+jax.config.update("jax_compilation_cache_dir", resolve_cache_dir("auto"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp

@@ -18,7 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
+from savtpu.pipeline.common import resolve_cache_dir
+jax.config.update("jax_compilation_cache_dir", resolve_cache_dir("auto"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp

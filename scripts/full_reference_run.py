@@ -32,7 +32,8 @@ if "--tpu" not in sys.argv:
     # trajectories without f64, docs/PRECISION.md).
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
+from savtpu.pipeline.common import resolve_cache_dir
+jax.config.update("jax_compilation_cache_dir", resolve_cache_dir("auto"))
 
 
 def main():

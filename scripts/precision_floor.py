@@ -113,7 +113,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/savtpu_jax_cache")
+    from savtpu.pipeline.common import resolve_cache_dir
+    jax.config.update("jax_compilation_cache_dir", resolve_cache_dir("auto"))
 
     ref = np.load(truth_npz)["traj"]
     results = {
