@@ -66,6 +66,23 @@ def test_grid_matches_psum_trajectory(fint_mode):
     assert err < 1e-9, err
 
 
+def test_grid_three_axis_corners_exact():
+    """3-axis factorization (4x2x2 boxes over 8x4x4 cells — the shape
+    class of the 384^3/256 production 16x4x4 grid): corner nodes shared
+    by EIGHT parts must hold the full 8-owner sum after the x, y, z
+    passes (pairs -> quads -> octets)."""
+    prob, maps = _setup(cells=(8, 4, 4), n_parts=16)
+    sp_p = ShardedProblem.build(prob, maps, exchange_mode="psum")
+    sp_g = ShardedProblem.build(prob, maps, exchange_mode="grid")
+    rng = np.random.default_rng(1)
+    fg = rng.normal(size=(prob.ndof,))
+    ep = np.asarray(sp_p._exchange(sp_p.localize(fg), lambda x: x))
+    eg = np.asarray(sp_g._exchange_grid(sp_g.localize(fg)))
+    gp = sp_p.globalize(ep, prob.ndof)
+    gg = sp_g.globalize(eg, prob.ndof)
+    assert np.allclose(gp, gg, rtol=0, atol=1e-12 * np.abs(gp).max())
+
+
 def test_grid_single_exchange_exact():
     """One exchange application on random forces: every owner's copy of a
     shared DOF holds the full owner sum, interior DOFs untouched."""
