@@ -53,7 +53,9 @@ class SolverConfig:
     deg: int = 1              # polynomial order (P1 tets; P2 steady-only)
     n_quad: int = 2           # quadrature accuracy key (2 -> 4-pt rule)
     fint_mode: str = "auto"   # "dense" | "banded" | "ell" | "ebe" |
-                              # "pallas" | "auto"
+                              # "pallas" | "stencil" (gather-free linear
+                              # forces on structured box partitions; pair
+                              # with exchange_mode="grid") | "auto"
     exchange_mode: str = "psum"  # halo exchange: "psum" (global shared
                                  # all-reduce) | "permute" (neighbor-packed
                                  # collective_permute rounds) | "grid"

@@ -224,6 +224,16 @@ class ShardedProblem:
     nhs_dims: Optional[tuple] = None          # per-part node box (NX,NY,NZ)
     nhs_G: Optional[np.ndarray] = None        # (6, 4, 3) per-type gradients
     nhs_dJw: Optional[np.ndarray] = None      # (6,) per-type detJ * sum(w)
+    # linear-elastic stencil path (fint_mode == 'stencil'): the same
+    # shifted-corner-view machinery as the nh stencil (nhs_* fields are
+    # shared) with the small-strain stress sigma = lmd tr(eps) I + 2 mu
+    # eps — recomputes F_int = K d gather-free each step instead of
+    # storing K at all. Equals the pre-assembled Ke matvec to roundoff
+    # (reference element contract Tools/Mat_construction.py:79-119);
+    # lex-order-native, so it pairs with exchange_mode='grid' where the
+    # banded path would pay the wide lexicographic bandwidth.
+    stn_lmd: Optional[float] = None
+    stn_mu: Optional[float] = None
     # structured-grid halo exchange (exchange_mode == 'grid'): on a box
     # partition with lexicographic local node order, the shared-DOF
     # reduction is a dimension-split sum of overlapping box FACE PLANES —
@@ -259,7 +269,7 @@ class ShardedProblem:
         if isinstance(material, _NH):
             fint_mode = "nh"
         valid_modes = {"auto", "dense", "banded", "ell", "ebe", "pallas",
-                       "nh"}
+                       "nh", "stencil"}
         if fint_mode == "nh" and not isinstance(material, _NH):
             raise ValueError(
                 "fint_mode='nh' requires a NeoHookean material instance"
@@ -307,6 +317,23 @@ class ShardedProblem:
             from .halo import rcm_reorder_maps
 
             maps = rcm_reorder_maps(maps, prob.mesh.tetra)
+        stn_box = None
+        if fint_mode == "stencil":
+            from . import stencil as _stencil
+
+            stn_box = grid_box or _stencil.detect_box_partition(
+                prob.mesh, maps
+            )
+            if stn_box is None:
+                raise ValueError(
+                    "fint_mode='stencil' requires a structured box "
+                    "partition (partition method='box' or 'slab' on a "
+                    "generated structured mesh); use 'banded'/'auto' "
+                    "for unstructured meshes/partitions"
+                )
+            if grid_box is None:
+                # stencil layout needs lexicographic local node order
+                maps = _stencil.lex_reorder_maps(maps)
         nh_box = None
         if fint_mode == "nh" and nh_stencil != "off":
             from . import stencil as _stencil
@@ -486,6 +513,19 @@ class ShardedProblem:
                 nh_gather=jnp.asarray(nh_gather),
             )
 
+        stn_kwargs = {}
+        if fint_mode == "stencil":
+            from . import stencil as _stencil
+
+            G6, dJw6 = _stencil.type_geometry(stn_box.spacing)
+            stn_kwargs = dict(
+                nhs_dims=stn_box.node_dims,
+                nhs_G=G6,
+                nhs_dJw=dJw6,
+                stn_lmd=float(prob.material.lmd),
+                stn_mu=float(prob.material.mu),
+            )
+
         grid_kwargs = {}
         if grid_box is not None:
             orig = np.asarray(grid_box.origins)  # (P, 3) cell origins
@@ -521,6 +561,7 @@ class ShardedProblem:
             compensated=compensated,
             exchange_mode=exchange_mode,
             **nh_kwargs,
+            **stn_kwargs,
             **nx_kwargs,
             **grid_kwargs,
             shared_onehot=shared_onehot,
@@ -596,6 +637,9 @@ class ShardedProblem:
             if self.nhs_dims is not None:
                 return self._nh_fint_stencil(d)
             return self._nh_fint(d)
+
+        if self.fint_mode == "stencil":
+            return self._lin_fint_stencil(d)
 
         if self.fint_mode == "banded":
             # block-tridiagonal matvec (RCM-ordered local DOFs): three
@@ -817,6 +861,96 @@ class ShardedProblem:
                     if s is None:
                         s = jnp.zeros(cv[0].shape[:-1], dtype=dt_)
                     comps.append(s * w)
+                fa = jnp.stack(comps, axis=-1)  # (P, bx, by, bz, 3)
+                ox, oy, oz = (int(c) for c in _CORNERS[corn[a]])
+                out = out.at[
+                    :, ox : ox + bx, oy : oy + by, oz : oz + bz, :
+                ].add(fa)
+        flat = out.reshape(Pn, 3 * L)
+        return jnp.concatenate(
+            [flat, jnp.zeros((Pn, self.DL - 3 * L), dtype=dt_)], axis=1
+        )
+
+    def _lin_fint_stencil(self, d):
+        """Linear-elastic internal forces on a structured box partition.
+
+        F_int = K d recomputed gather-free every step: the same shifted
+        corner VIEWS of the (P, NX, NY, NZ, 3) nodal grid as
+        _nh_fint_stencil, with the small-strain stress law sigma =
+        lmd tr(eps) I + 2 mu eps (the reference's elasticity D-matrix
+        contract, Tools/commons.py:15-41 + Mat_construction.py:79-119).
+        For P1 tets B is constant per element, so this equals the
+        pre-assembled Ke matvec to roundoff — but in lexicographic node
+        order natively, where the banded path pays a ~2x wider band
+        (measured 6.4 vs 3.1 ms/step at 384^3/256); pairs with
+        exchange_mode='grid' to make the whole exchanged step
+        gather/scatter-free.
+        """
+        from ..mesh.generator import _CORNERS, _HEX_TO_TETS
+
+        dt_ = d.dtype
+        mu = self.stn_mu
+        lmd = self.stn_lmd
+        NX, NY, NZ = self.nhs_dims
+        bx, by, bz = NX - 1, NY - 1, NZ - 1
+        L = NX * NY * NZ
+        Pn = d.shape[0]
+        u = d[:, : 3 * L].reshape(Pn, NX, NY, NZ, 3)
+        cv = [
+            u[:, ox : ox + bx, oy : oy + by, oz : oz + bz, :]
+            for ox, oy, oz in _CORNERS
+        ]
+        out = jnp.zeros_like(u)
+        for t in range(6):
+            corn = _HEX_TO_TETS[t]
+            G = self.nhs_G[t]  # (4, 3) host f64 constants
+
+            # displacement gradient H_ij = sum_a u[a,i] G[a,j]
+            # (None = exactly zero; the per-type G zeros prune at trace)
+            H = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(3):
+                    s = None
+                    for a in range(4):
+                        g = float(G[a, j])
+                        if g == 0.0:
+                            continue
+                        term = cv[corn[a]][..., i] * g
+                        s = term if s is None else s + term
+                    H[i][j] = s
+
+            def _z():
+                return jnp.zeros(cv[0].shape[:-1], dtype=dt_)
+
+            def _add(x, y):
+                if x is None:
+                    return y
+                if y is None:
+                    return x
+                return x + y
+
+            tr = _add(_add(H[0][0], H[1][1]), H[2][2])
+            # sigma_ij = lmd tr delta_ij + mu (H_ij + H_ji), symmetric
+            sig = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(i, 3):
+                    s = _add(H[i][j], H[j][i])
+                    s = None if s is None else mu * s
+                    if i == j and tr is not None:
+                        s = _add(s, lmd * tr)
+                    sig[i][j] = sig[j][i] = s
+
+            w = float(self.nhs_dJw[t])
+            for a in range(4):
+                comps = []
+                for i in range(3):
+                    s = None
+                    for j in range(3):
+                        g = float(G[a, j])
+                        if g == 0.0 or sig[i][j] is None:
+                            continue
+                        s = _add(s, sig[i][j] * g)
+                    comps.append(_z() if s is None else s * w)
                 fa = jnp.stack(comps, axis=-1)  # (P, bx, by, bz, 3)
                 ox, oy, oz = (int(c) for c in _CORNERS[corn[a]])
                 out = out.at[

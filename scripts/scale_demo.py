@@ -65,6 +65,12 @@ def main():
                     choices=("psum", "permute", "grid"),
                     help="halo exchange (grid = face-plane sums on box "
                          "partitions; pair with --pmethod box)")
+    ap.add_argument("--fint", type=str, default=None,
+                    choices=("auto", "dense", "banded", "ell", "ebe",
+                             "pallas", "stencil"),
+                    help="internal-force kernel (stencil = gather-free "
+                         "linear forces on box partitions; pair with "
+                         "--pmethod box --exchange grid)")
     ap.add_argument("--tube", type=int, nargs=3, default=None,
                     metavar=("NR", "NT", "NZ"),
                     help="non-beam geometry: annular tube (n_r n_theta "
@@ -122,6 +128,8 @@ def main():
         cfg.partition.method = args.pmethod
     if args.exchange:
         cfg.solver.exchange_mode = args.exchange
+    if args.fint:
+        cfg.solver.fint_mode = args.fint
     if args.arch:
         cfg.surrogate.arch = args.arch
     if args.modal:
