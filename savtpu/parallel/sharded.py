@@ -234,6 +234,17 @@ class ShardedProblem:
     # banded path would pay the wide lexicographic bandwidth.
     stn_lmd: Optional[float] = None
     stn_mu: Optional[float] = None
+    # face-plane shared-DOF machinery (stencil mode): in lexicographic
+    # box layout every shared node lies on one of the part's 6 box face
+    # planes, so the per-step prediction overwrite and shared-trace
+    # record — the scan-path overhead that motivated the band-resident
+    # online kernel — become static face SLICES (zero gather/scatter in
+    # the step body). The compact shared-row layout (sld order, the
+    # artifact contract) is converted to/from the concatenated-face
+    # layout once per save_every block via one batched gather.
+    stn_face_cidx: Optional[jnp.ndarray] = None  # (P, F3) compact slot per face slot
+    stn_face_mask: Optional[jnp.ndarray] = None  # (P, F3) 1 where face slot is shared
+    stn_conc_idx: Optional[jnp.ndarray] = None   # (P, 3*S_max) face slot per compact slot
     # structured-grid halo exchange (exchange_mode == 'grid'): on a box
     # partition with lexicographic local node order, the shared-DOF
     # reduction is a dimension-split sum of overlapping box FACE PLANES —
@@ -518,12 +529,18 @@ class ShardedProblem:
             from . import stencil as _stencil
 
             G6, dJw6 = _stencil.type_geometry(stn_box.spacing)
+            fc, fm, ci = _stencil.face_maps(
+                stn_box.node_dims, sld, smask, DL
+            )
             stn_kwargs = dict(
                 nhs_dims=stn_box.node_dims,
                 nhs_G=G6,
                 nhs_dJw=dJw6,
                 stn_lmd=float(prob.material.lmd),
                 stn_mu=float(prob.material.mu),
+                stn_face_cidx=jnp.asarray(fc),
+                stn_face_mask=jnp.asarray(fm, dtype=dtype),
+                stn_conc_idx=jnp.asarray(ci),
             )
 
         grid_kwargs = {}
@@ -1093,6 +1110,77 @@ class ShardedProblem:
         )
         return out.at[:, self.DL - 1].set(0.0)
 
+    # ---- face-plane shared-DOF access (stencil mode) -----------------
+    # In lex box layout the shared nodes are exactly the part's box face
+    # planes, so the per-step touch of shared DOFs is 6 static slices —
+    # no gather/scatter in the scan body. Order must match
+    # stencil.face_maps: x=0, x=NX-1, y=0, y=NY-1, z=0, z=NZ-1; within a
+    # face plane-lex C order with the xyz component innermost.
+
+    def _face_views(self, d):
+        NX, NY, NZ = self.nhs_dims
+        Pn = d.shape[0]
+        L = NX * NY * NZ
+        g = d[:, : 3 * L].reshape(Pn, NX, NY, NZ, 3)
+        return g, L, (
+            (lambda a: a[:, 0], lambda a, v: a.at[:, 0].set(v),
+             (NY, NZ)),
+            (lambda a: a[:, NX - 1], lambda a, v: a.at[:, NX - 1].set(v),
+             (NY, NZ)),
+            (lambda a: a[:, :, 0], lambda a, v: a.at[:, :, 0].set(v),
+             (NX, NZ)),
+            (lambda a: a[:, :, NY - 1],
+             lambda a, v: a.at[:, :, NY - 1].set(v), (NX, NZ)),
+            (lambda a: a[:, :, :, 0],
+             lambda a, v: a.at[:, :, :, 0].set(v), (NX, NY)),
+            (lambda a: a[:, :, :, NZ - 1],
+             lambda a, v: a.at[:, :, :, NZ - 1].set(v), (NX, NY)),
+        )
+
+    def _faces_concat(self, d):  # (P, DL) -> (P, F3)
+        g, _, views = self._face_views(d)
+        Pn = d.shape[0]
+        return jnp.concatenate(
+            [get(g).reshape(Pn, -1) for get, _, _ in views], axis=1
+        )
+
+    def _faces_scatter(self, d, vals, keep):
+        """Write face-layout ``vals`` into ``d`` where ``keep`` is 1,
+        preserving ``d`` elsewhere. Overlapping (edge/corner) slots are
+        written once per covering face with identical values — the maps
+        feed every covering slot from the same compact entry."""
+        g, L, views = self._face_views(d)
+        Pn = d.shape[0]
+        off = 0
+        for get, set_, dims in views:
+            n = 3 * dims[0] * dims[1]
+            v = vals[:, off: off + n].reshape(Pn, *dims, 3)
+            k = keep[:, off: off + n].reshape(Pn, *dims, 3)
+            g = set_(g, k * v + (1.0 - k) * get(g))
+            off += n
+        return jnp.concatenate(
+            [g.reshape(Pn, 3 * L), d[:, 3 * L:]], axis=1
+        )
+
+    def _pred_faces(self, xs_tp):
+        """Compact pred rows (T, P, 3*S_max) -> face layout (T, P, F3);
+        one batched gather per save_every block (amortized, off the
+        per-step path)."""
+        sp_ = jnp.moveaxis(xs_tp, 0, 1)  # (P, T, S3)
+        f = jnp.take_along_axis(
+            sp_, self.stn_face_cidx[:, None, :], axis=2
+        ) * self.stn_face_mask[:, None, :]
+        return jnp.moveaxis(f, 0, 1)
+
+    def _sh_compact(self, sh_face_tp):
+        """Face-layout shared trace (T, P, F3) -> compact rows
+        (T, P, 3*S_max) in sld order (the artifact contract)."""
+        sp_ = jnp.moveaxis(sh_face_tp, 0, 1)  # (P, T, F3)
+        comp = jnp.take_along_axis(
+            sp_, self.stn_conc_idx[:, None, :], axis=2
+        ) * self.smask[:, None, :]
+        return jnp.moveaxis(comp, 0, 1)
+
     # ------------------------------------------------------------------
     def _online_pallas_ok(self, sync, preds, blend, record, save_every,
                           num_steps, dtype) -> bool:
@@ -1288,6 +1376,17 @@ class ShardedProblem:
                 d0, dn, t0, num_steps, preds, save_every
             )
 
+        # Stencil (lex box) mode: touch shared DOFs through static face
+        # slices inside the scan; compact <-> face layout conversion
+        # happens once per save_every block (see _pred_faces/_sh_compact).
+        # The save_every==1 path keeps the generic gather (toy sizes).
+        use_faces = (
+            self.fint_mode == "stencil"
+            and self.stn_face_cidx is not None
+            and save_every > 1
+            and num_steps % save_every == 0
+        )
+
         def _synced_fint(d):
             F_int = self._fint_stacked(d)
             if sync:
@@ -1308,7 +1407,15 @@ class ShardedProblem:
                 F_int = _synced_fint(d0c)
                 d1 = self._update(d0c, dnc, tn, F_int)
                 if x is not None:
-                    if isinstance(x, tuple):
+                    if use_faces:
+                        if isinstance(x, tuple):
+                            pred, w = x
+                            cur = self._faces_concat(d1)
+                            x = w * cur + (1.0 - w) * pred
+                        d1 = self._faces_scatter(
+                            d1, x, self.stn_face_mask
+                        )
+                    elif isinstance(x, tuple):
                         # blended release: shared DOFs ramp from the
                         # prescribed prediction (w=0) to the computed
                         # dynamics (w=1) — quasi-static release of the
@@ -1318,7 +1425,9 @@ class ShardedProblem:
                         pred, w = x
                         cur = jax.vmap(lambda dp, s: dp[s])(d1, self.sld)
                         x = w * cur + (1.0 - w) * pred
-                    d1 = self._scatter_pred(d1, x)
+                        d1 = self._scatter_pred(d1, x)
+                    else:
+                        d1 = self._scatter_pred(d1, x)
                 return (d1, d0c, tn + dt), d1
 
             carry0 = (d0, dn, t0)
@@ -1360,20 +1469,31 @@ class ShardedProblem:
                     # increment at a shared slot is pred - current. A
                     # (pred, w) tuple blends toward the computed dynamics
                     # (see the plain step above).
-                    cur = jax.vmap(lambda h, l, s: h[s] + l[s])(
-                        d_hi, d_lo, self.sld
-                    )
-                    if isinstance(x, tuple):
-                        pred, w = x
-                        dyn = cur + jax.vmap(lambda dl, s: dl[s])(
-                            delta, self.sld
+                    if use_faces:
+                        cur = (self._faces_concat(d_hi)
+                               + self._faces_concat(d_lo))
+                        if isinstance(x, tuple):
+                            pred, w = x
+                            dyn = cur + self._faces_concat(delta)
+                            x = w * dyn + (1.0 - w) * pred
+                        delta = self._faces_scatter(
+                            delta, x - cur, self.stn_face_mask
                         )
-                        x = w * dyn + (1.0 - w) * pred
-                    tgt = (x - cur) * self.smask
-                    delta = jax.vmap(lambda dl, s, t: dl.at[s].set(t))(
-                        delta, self.sld, tgt
-                    )
-                    delta = delta.at[:, self.DL - 1].set(0.0)
+                    else:
+                        cur = jax.vmap(lambda h, l, s: h[s] + l[s])(
+                            d_hi, d_lo, self.sld
+                        )
+                        if isinstance(x, tuple):
+                            pred, w = x
+                            dyn = cur + jax.vmap(lambda dl, s: dl[s])(
+                                delta, self.sld
+                            )
+                            x = w * dyn + (1.0 - w) * pred
+                        tgt = (x - cur) * self.smask
+                        delta = jax.vmap(
+                            lambda dl, s, t: dl.at[s].set(t)
+                        )(delta, self.sld, tgt)
+                        delta = delta.at[:, self.DL - 1].set(0.0)
                 # TwoSum(d_hi, delta) + renormalize (Knuth/Dekker EFTs)
                 s = d_hi + delta
                 z = s - d_hi
@@ -1435,15 +1555,23 @@ class ShardedProblem:
             )
         num_blocks = num_steps // save_every
 
+        gather_row = self._faces_concat if use_faces else self._gather_shared
+
         def block(carry, xs):
+            if use_faces and xs is not None:
+                # compact pred rows -> face layout, once per block
+                if isinstance(xs, tuple):
+                    xs = (self._pred_faces(xs[0]), xs[1])
+                else:
+                    xs = self._pred_faces(xs)
             # first step of the block is the recorded one
             x0 = None if xs is None else jax.tree.map(lambda a: a[0], xs)
             carry, d_first = step(carry, x0)
-            sh_first = self._gather_shared(d_first) if want_shared else None
+            sh_first = gather_row(d_first) if want_shared else None
 
             def inner(c, x):
                 c, d1 = step(c, x)
-                return c, self._gather_shared(d1) if want_shared else None
+                return c, gather_row(d1) if want_shared else None
 
             xs_rest = (
                 None if xs is None
@@ -1457,6 +1585,9 @@ class ShardedProblem:
                 if want_shared
                 else None
             )
+            if use_faces and want_shared:
+                # face layout -> compact artifact rows, once per block
+                sh_block = self._sh_compact(sh_block)
             return carry, (
                 d_first if record in ("all", "traj") else None, sh_block
             )
@@ -1532,7 +1663,8 @@ class ShardedSolver:
 
     _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
                    "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
-                   "nx_src", "ecoords", "nh_G", "nh_detJw", "nh_gather")
+                   "nx_src", "ecoords", "nh_G", "nh_detJw", "nh_gather",
+                   "stn_face_cidx", "stn_face_mask", "stn_conc_idx")
 
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so

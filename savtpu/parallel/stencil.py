@@ -185,3 +185,73 @@ def type_geometry(spacing):
         G[t] = dN @ np.linalg.inv(Jm)
         dJw[t] = np.linalg.det(Jm) * (1.0 / 6.0)        # 4-pt wts sum = 1/6
     return G, dJw
+
+
+def face_maps(node_dims, sld, smask, DL):
+    """Compact shared-row <-> concatenated-face-plane index maps.
+
+    In the lexicographic box layout (``lex_reorder_maps``) every shared
+    node lies on one of the part's six box face planes, so the online
+    scan can touch shared DOFs through static face slices instead of
+    per-step gather/scatter. The artifact contract stays the compact
+    ``sld``-ordered row (reference Shared_extraction.py semantics); these
+    maps convert between the two layouts with one batched gather per
+    ``save_every`` block.
+
+    Face order (and within a face: plane-lex C order, xyz components
+    innermost — matching ``ShardedProblem._faces_concat``): x=0, x=NX-1,
+    y=0, y=NY-1, z=0, z=NZ-1.
+
+    Returns ``(face_cidx, face_mask, conc_idx)``:
+      - face_cidx (P, F3) int32: compact slot feeding each face slot
+        (0 where the face slot is not a shared DOF);
+      - face_mask (P, F3): 1.0 on face slots that are real shared DOFs;
+      - conc_idx (P, 3*S_max) int32: a face slot holding each compact
+        slot's value (0 on padded compact slots — mask with ``smask``).
+    Raises if any shared DOF is not on a face plane (cannot happen on a
+    true box partition; guards silent corruption if it ever does).
+    """
+    NX, NY, NZ = (int(v) for v in node_dims)
+    P, S3 = sld.shape
+    sld = np.asarray(sld)
+    smask = np.asarray(smask)
+    ar = np.arange
+
+    def _nx(ix):
+        iy, iz = np.meshgrid(ar(NY), ar(NZ), indexing="ij")
+        return ((ix * NY + iy) * NZ + iz).ravel()
+
+    def _ny(iy):
+        ix, iz = np.meshgrid(ar(NX), ar(NZ), indexing="ij")
+        return ((ix * NY + iy) * NZ + iz).ravel()
+
+    def _nz(iz):
+        ix, iy = np.meshgrid(ar(NX), ar(NY), indexing="ij")
+        return ((ix * NY + iy) * NZ + iz).ravel()
+
+    planes = [_nx(0), _nx(NX - 1), _ny(0), _ny(NY - 1),
+              _nz(0), _nz(NZ - 1)]
+    conc_dofs = np.concatenate(
+        [(3 * nds[:, None] + np.arange(3)).ravel() for nds in planes]
+    )
+    F3 = conc_dofs.size
+    face_cidx = np.zeros((P, F3), dtype=np.int32)
+    face_mask = np.zeros((P, F3), dtype=np.float64)
+    conc_idx = np.zeros((P, S3), dtype=np.int32)
+    for p in range(P):
+        cnt = int(round(smask[p].sum()))
+        pos = np.full(DL, -1, dtype=np.int64)
+        pos[sld[p, :cnt]] = np.arange(cnt)
+        ci = pos[conc_dofs]                    # compact slot or -1
+        hit = ci >= 0
+        face_cidx[p, hit] = ci[hit]
+        face_mask[p, hit] = 1.0
+        rev = np.full(S3, -1, dtype=np.int64)
+        rev[ci[hit]] = np.nonzero(hit)[0]      # any covering slot works
+        if cnt and (rev[:cnt] < 0).any():
+            raise AssertionError(
+                "shared DOF off every box face plane — partition is not "
+                "a clean box decomposition"
+            )
+        conc_idx[p, :cnt] = rev[:cnt]
+    return face_cidx, face_mask, conc_idx

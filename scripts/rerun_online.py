@@ -80,6 +80,13 @@ def main():
                     help="surrogate.seed (retrains stage 3; for retrain-"
                          "spread estimates)")
     ap.add_argument("--compensated", action="store_true", default=True)
+    ap.add_argument("--fint", type=str, default=None,
+                    choices=("auto", "dense", "banded", "ell", "ebe",
+                             "pallas", "stencil"),
+                    help="solver.fint_mode for the online rerun "
+                         "(stencil needs --pmethod box; trajectories "
+                         "are mode-independent so artifacts from any "
+                         "stage-1 mode are valid)")
     ap.add_argument("--pmethod", type=str, default=None,
                     choices=("rcb", "graph", "slab", "box"),
                     help="partition method -- MUST match the stage-1 run "
@@ -114,6 +121,8 @@ def main():
     cfg.surrogate.resync_blocks = args.resync
     cfg.surrogate.pred_consensus = not args.no_consensus
     cfg.surrogate.pred_anchor = args.anchor
+    if args.fint:
+        cfg.solver.fint_mode = args.fint
     if args.pmethod:
         cfg.partition.method = args.pmethod
     if args.material:
