@@ -26,6 +26,7 @@ from ..io.artifacts import (
     load_params,
     save_displacement,
 )
+from ..utils.offload import fetch_into
 from ..models import (
     init_seq2seq,
     phase_interleaved_predict,
@@ -762,15 +763,16 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
              "first_group_s": 0.0}
 
     def write_seg(arr):
+        # threaded-chunk D2H straight into the (memmap) destination: the
+        # remote link is stream-limited (~14 MB/s bulk vs ~40 MB/s at 16
+        # concurrent slice fetches — utils/offload.py). fetch_s counts
+        # the whole interleaved fetch+write wall; write_s keeps only the
+        # host-side writes that are NOT overlapped with a fetch.
         nonlocal rec_off
         n = arr.shape[1]
         t0 = time.perf_counter()
-        host = np.asarray(arr)
-        t1 = time.perf_counter()
-        traj_full[:, rec_off : rec_off + n] = host
-        t2 = time.perf_counter()
-        tprof["fetch_s"] += t1 - t0
-        tprof["write_s"] += t2 - t1
+        fetch_into(traj_full[:, rec_off : rec_off + n], arr)
+        tprof["fetch_s"] += time.perf_counter() - t0
         rec_off += n
 
     # Double-buffered offload: the group loop dispatches group k+1 BEFORE

@@ -193,6 +193,8 @@ def main():
     summary = {
         "smooth": args.smooth,
         "anchor": args.anchor,
+        "fint_mode": cfg.solver.fint_mode,
+        "partition_method": cfg.partition.method,
         "arch": cfg.surrogate.arch,
         "ridge_lambda": cfg.surrogate.ridge_lambda,
         "modal_dim": args.modal,
@@ -239,6 +241,8 @@ def main():
         tag += f"_in{args.input_noise:g}"
     if args.seed is not None:
         tag += f"_s{args.seed}"
+    if args.fint:
+        tag += f"_fint-{args.fint}"
     if args.filter_size:
         tag += f"_ns{args.filter_size}"
     if args.n_past:
