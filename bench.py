@@ -184,9 +184,15 @@ def main():
 
 
 def _scale_row(n_steps=4000):
-    """Comm-free throughput at 96x8x8 (36,864 tets) / 16 shards, banded
+    """Comm-free throughput at 96x8x8 (36,864 tets) / 16 shards,
     compensated f32 — the production deployment config of the accuracy
-    studies (benchmarks/sweep.py case list; docs/STATUS_r3.md)."""
+    studies (benchmarks/sweep.py case list; docs/STATUS_r3.md).
+
+    Measured in BOTH production F_int modes (banded-RCM on an RCB
+    partition — the generic path — and the gather-free structured-box
+    stencil on a box partition, docs/STATUS_r4.md #5); the max is the
+    headline, per-mode numbers ride in BENCH_DETAILS.json.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -204,34 +210,48 @@ def _scale_row(n_steps=4000):
     cfg.beam_cells = (96, 8, 8)
     cfg.beam_extent = (12.0, 1.0, 1.0)
     prob = setup_problem(cfg, dtype=jnp.float32)
-    epart = partition_elements(prob.mesh.tetra, prob.mesh.points, 16, "rcb")
     dnodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
-    maps = build_partition_maps(
-        prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
-    )
-    sp = ShardedProblem.build(
-        prob, maps, fint_mode="banded", dtype=jnp.float32, compensated=True
-    )
-    solver = ShardedSolver(sp, mesh=None)
-    d0 = sp.localize(np.zeros(prob.ndof, np.float32))
-    dn = sp.localize(np.zeros(prob.ndof, np.float32))
-    (_, _), carry = solver.run(
-        d0, dn, 0.0, n_steps, sync=False, record="none"
-    )  # compile
-    jax.block_until_ready(carry)
-    best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
+
+    def timed(fint_mode, pmethod):
+        epart = partition_elements(
+            prob.mesh.tetra, prob.mesh.points, 16, pmethod
+        )
+        maps = build_partition_maps(
+            prob.mesh.tetra, epart, prob.mesh.num_points, dnodes
+        )
+        sp = ShardedProblem.build(
+            prob, maps, fint_mode=fint_mode, dtype=jnp.float32,
+            compensated=True,
+        )
+        solver = ShardedSolver(sp, mesh=None)
+        d0 = sp.localize(np.zeros(prob.ndof, np.float32))
+        dn = sp.localize(np.zeros(prob.ndof, np.float32))
         (_, _), carry = solver.run(
             d0, dn, 0.0, n_steps, sync=False, record="none"
-        )
+        )  # compile
         jax.block_until_ready(carry)
-        best = max(best, n_steps / (time.perf_counter() - t0))
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (_, _), carry = solver.run(
+                d0, dn, 0.0, n_steps, sync=False, record="none"
+            )
+            jax.block_until_ready(carry)
+            best = max(best, n_steps / (time.perf_counter() - t0))
+        return best
+
+    by_mode = {
+        "banded": timed("banded", "rcb"),
+        "stencil": timed("stencil", "box"),
+    }
+    mode = max(by_mode, key=by_mode.get)
+    best = by_mode[mode]
     return {
         "mesh": "96x8x8",
         "elements": len(prob.mesh.tetra),
         "n_parts": 16,
-        "fint_mode": "banded",
+        "fint_mode": mode,
+        "by_mode": by_mode,
         "compensated": True,
         "sync_avoiding_steps_per_sec": best,
         "element_updates_per_sec": best * len(prob.mesh.tetra),
