@@ -97,12 +97,19 @@ def _partition_box(cells, points, n_parts):
 
     from . import stencil
 
-    s = stencil.detect_structured(
-        SimpleNamespace(tetra=np.asarray(cells), points=np.asarray(points))
+    ns = SimpleNamespace(
+        tetra=np.asarray(cells), points=np.asarray(points)
     )
-    if s is None:
-        return None
-    nx, ny, nz, _ = s
+    s = stencil.detect_structured(ns)
+    wrap_y = False
+    if s is not None:
+        nx, ny, nz, _ = s
+    else:
+        c = stencil.detect_curvilinear(ns)
+        if c is None:
+            return None
+        nx, ny, nz = c
+        wrap_y = True  # y = theta is periodic: py>1 cuts py interfaces
     best = None
     for px in range(1, n_parts + 1):
         if n_parts % px or nx % px:
@@ -114,9 +121,10 @@ def _partition_box(cells, points, n_parts):
             pz = rest // py
             if nz % pz:
                 continue
+            y_cuts = py if (wrap_y and py > 1) else py - 1
             area = (
                 (px - 1) * ny * nz
-                + (py - 1) * nx * nz
+                + y_cuts * nx * nz
                 + (pz - 1) * nx * ny
             )
             if best is None or area < best[0]:

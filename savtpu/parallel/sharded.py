@@ -106,6 +106,22 @@ def _build_banded(npn, DLp, edofs, Ke, dtype, chunk_quantum=256):
     )
 
 
+def _stencil_geom_kwargs(_stencil, mesh, box, dtype):
+    """Geometry kwargs for the stencil force kernels: baked per-type
+    constants on a congruent Kuhn grid (beam), per-cell broadcast arrays
+    on a curvilinear logical grid (tube — parallel/stencil.py
+    cell_type_geometry), plus the full-ring wrap flag."""
+    if box.spacing is not None:
+        G6, dJw6 = _stencil.type_geometry(box.spacing)
+        return dict(nhs_G=G6, nhs_dJw=dJw6)
+    Gc, dJwc = _stencil.cell_type_geometry(mesh, box)
+    return dict(
+        nhs_Gc=jnp.asarray(Gc, dtype=dtype),
+        nhs_dJwc=jnp.asarray(dJwc, dtype=dtype),
+        nhs_wrap=bool(box.full_ring),
+    )
+
+
 def _build_ell(npn, L_max, edofs, Ke, dtype):
     """Node-block ELLPACK from per-part element stiffness: for each local
     node row, a fixed-width list of (column node, 3x3 block). Duplicate
@@ -224,6 +240,15 @@ class ShardedProblem:
     nhs_dims: Optional[tuple] = None          # per-part node box (NX,NY,NZ)
     nhs_G: Optional[np.ndarray] = None        # (6, 4, 3) per-type gradients
     nhs_dJw: Optional[np.ndarray] = None      # (6,) per-type detJ * sum(w)
+    # curvilinear logical grids (the periodic tube): cells are congruent
+    # only up to rotation/scaling, so the per-type constants become
+    # per-cell arrays (invariant cell axes collapsed to 1 — the straight
+    # tube is z-invariant). Same kernels, G/w broadcast instead of baked.
+    nhs_Gc: Optional[jnp.ndarray] = None      # (P,6,bxc,byc,bzc,4,3)
+    nhs_dJwc: Optional[jnp.ndarray] = None    # (P,6,bxc,byc,bzc)
+    # full-ring part (one part spans the whole periodic theta axis): the
+    # stencil kernels add a wrapped corner column (y cells == y nodes)
+    nhs_wrap: bool = False
     # linear-elastic stencil path (fint_mode == 'stencil'): the same
     # shifted-corner-view machinery as the nh stencil (nhs_* fields are
     # shared) with the small-strain stress sigma = lmd tr(eps) I + 2 mu
@@ -254,6 +279,8 @@ class ShardedProblem:
     grid_ndims: Optional[tuple] = None        # per-part node box (NX,NY,NZ)
     grid_perm: Optional[jnp.ndarray] = None   # (P,) part id at box-lex slot
     grid_inv: Optional[jnp.ndarray] = None    # (P,) box-lex slot of part
+    grid_wrap: bool = False                   # y part axis is a periodic
+                                              # ring (tube): one seam pair
 
     # ------------------------------------------------------------------
     @classmethod
@@ -317,10 +344,10 @@ class ShardedProblem:
                     "generated structured mesh); use 'psum' for "
                     "unstructured meshes/partitions"
                 )
-            # the face-plane exchange needs lexicographic local node
+            # the face-plane exchange needs box-lexicographic local node
             # order; it doubles as a banded ordering (bandwidth ~
             # 3*(NY+1)*(NZ+1)), so banded mode skips RCM here
-            maps = _stencil.lex_reorder_maps(maps)
+            maps = _stencil.lex_reorder_maps(maps, grid_box)
         if fint_mode == "banded" and grid_box is None:
             # banded storage needs small local bandwidth: RCM-reorder the
             # local node lists first (sp.maps is then the authoritative
@@ -343,17 +370,17 @@ class ShardedProblem:
                     "for unstructured meshes/partitions"
                 )
             if grid_box is None:
-                # stencil layout needs lexicographic local node order
-                maps = _stencil.lex_reorder_maps(maps)
+                # stencil layout needs box-lexicographic local node order
+                maps = _stencil.lex_reorder_maps(maps, stn_box)
         nh_box = None
         if fint_mode == "nh" and nh_stencil != "off":
             from . import stencil as _stencil
 
             nh_box = _stencil.detect_box_partition(prob.mesh, maps)
             if nh_box is not None:
-                # stencil layout needs lexicographic local node order
+                # stencil layout needs box-lexicographic local node order
                 # (sp.maps is then the authoritative map set, as above)
-                maps = _stencil.lex_reorder_maps(maps)
+                maps = _stencil.lex_reorder_maps(maps, nh_box)
         npn = maps.n_parts
         dtype = dtype or prob.lumped_M.dtype
         L_max = maps.max_local_nodes
@@ -456,12 +483,10 @@ class ShardedProblem:
         if fint_mode == "nh" and nh_box is not None:
             from . import stencil as _stencil
 
-            G6, dJw6 = _stencil.type_geometry(nh_box.spacing)
             nh_kwargs = dict(
                 nh_material=material,
                 nhs_dims=nh_box.node_dims,
-                nhs_G=G6,
-                nhs_dJw=dJw6,
+                **_stencil_geom_kwargs(_stencil, prob.mesh, nh_box, dtype),
             )
         elif fint_mode == "nh":
             coords_np = np.asarray(prob.coords)
@@ -528,25 +553,23 @@ class ShardedProblem:
         if fint_mode == "stencil":
             from . import stencil as _stencil
 
-            G6, dJw6 = _stencil.type_geometry(stn_box.spacing)
             fc, fm, ci = _stencil.face_maps(
                 stn_box.node_dims, sld, smask, DL
             )
             stn_kwargs = dict(
                 nhs_dims=stn_box.node_dims,
-                nhs_G=G6,
-                nhs_dJw=dJw6,
                 stn_lmd=float(prob.material.lmd),
                 stn_mu=float(prob.material.mu),
                 stn_face_cidx=jnp.asarray(fc),
                 stn_face_mask=jnp.asarray(fm, dtype=dtype),
                 stn_conc_idx=jnp.asarray(ci),
+                **_stencil_geom_kwargs(_stencil, prob.mesh, stn_box, dtype),
             )
 
         grid_kwargs = {}
         if grid_box is not None:
             orig = np.asarray(grid_box.origins)  # (P, 3) cell origins
-            bx, by, bz = (d - 1 for d in grid_box.node_dims)
+            bx, by, bz = grid_box.box_cells
             pi, pj, pk = orig[:, 0] // bx, orig[:, 1] // by, orig[:, 2] // bz
             px = int(pi.max()) + 1
             py = int(pj.max()) + 1
@@ -559,6 +582,8 @@ class ShardedProblem:
                 grid_ndims=grid_box.node_dims,
                 grid_perm=jnp.asarray(perm),
                 grid_inv=jnp.asarray(slot_of_part.astype(np.int32)),
+                # periodic theta part ring: the y pass gains a seam pair
+                grid_wrap=bool(grid_box.wrap_y and py > 1),
             )
 
         nx_kwargs = {}
@@ -795,18 +820,63 @@ class ShardedProblem:
 
         return jax.vmap(assemble)(fe, self.nh_gather)
 
+    # ---- shared machinery of the stencil force kernels ----------------
+    def _stencil_views(self, d):
+        """Nodal grid + 8 shifted corner views. For a full-ring part
+        (``nhs_wrap``: one part spans the whole periodic theta axis) the
+        grid gains one wrapped corner column (a copy of y=0) so the seam
+        cells see their far corners; ``_stencil_fold`` adds the forces
+        accumulated there back into column 0."""
+        from ..mesh.generator import _CORNERS
+
+        NX, NY, NZ = self.nhs_dims
+        L = NX * NY * NZ
+        Pn = d.shape[0]
+        u = d[:, : 3 * L].reshape(Pn, NX, NY, NZ, 3)
+        if self.nhs_wrap:
+            u = jnp.concatenate([u, u[:, :, :1]], axis=2)
+        NYe = NY + (1 if self.nhs_wrap else 0)
+        bx, by, bz = NX - 1, NYe - 1, NZ - 1
+        cv = [
+            u[:, ox : ox + bx, oy : oy + by, oz : oz + bz, :]
+            for ox, oy, oz in _CORNERS
+        ]
+        return u, cv, (bx, by, bz, NY, L, Pn)
+
+    def _stencil_fold(self, out, NY, L, Pn, dt_):
+        if self.nhs_wrap:
+            out = out[:, :, :NY].at[:, :, 0].add(out[:, :, NY])
+        flat = out.reshape(Pn, 3 * L)
+        return jnp.concatenate(
+            [flat, jnp.zeros((Pn, self.DL - 3 * L), dtype=dt_)], axis=1
+        )
+
+    def _stencil_gw(self, t):
+        """Per-type shape-gradient access + quadrature weight: host
+        floats baked into the jaxpr (zeros pruned at trace time) on a
+        congruent grid; per-cell broadcast arrays (invariant axes
+        collapsed) on a curvilinear one."""
+        if self.nhs_Gc is None:
+            G = self.nhs_G[t]
+            return (lambda a, j: float(G[a, j])), float(self.nhs_dJw[t])
+        Gt = self.nhs_Gc[:, t]          # (P, bxc, byc, bzc, 4, 3)
+        return (lambda a, j: Gt[..., a, j]), self.nhs_dJwc[:, t]
+
     def _nh_fint_stencil(self, d):
         """Neo-Hookean internal forces on a structured box partition.
 
         Same continuum math as _nh_fint (first Piola P = mu F +
         (lmd ln J - mu) F^-T, nodal forces f[a,i] = sum_j P_ij G[a,j]
         detJ w — reference contract Tools/Mat_construction.py:79-119 with
-        the NH stress swapped in), but every cell is congruent and nodes
-        are laid out lexicographically, so the deformation-gradient gather
-        becomes 8 shifted corner VIEWS of the (P, NX, NY, NZ, 3) nodal
-        grid and assembly becomes 24 static-slice adds — no gather or
-        scatter instructions at all. Per-type gradients are 48 host
-        floats baked into the jaxpr (zeros pruned at trace time).
+        the NH stress swapped in), but nodes are laid out
+        lexicographically over a logical box, so the deformation-gradient
+        gather becomes 8 shifted corner VIEWS of the (P, NX, NY, NZ, 3)
+        nodal grid and assembly becomes 24 static-slice adds — no gather
+        or scatter instructions at all. On a congruent grid (beam) the
+        per-type gradients are 48 host floats baked into the jaxpr
+        (zeros pruned at trace time); on a curvilinear logical grid (the
+        periodic tube) they are per-cell broadcast arrays
+        (stencil.cell_type_geometry).
         """
         from ..mesh.generator import _CORNERS, _HEX_TO_TETS
 
@@ -814,19 +884,11 @@ class ShardedProblem:
         dt_ = d.dtype
         mu = float(mat.mu)
         lmd = float(mat.lmd)
-        NX, NY, NZ = self.nhs_dims
-        bx, by, bz = NX - 1, NY - 1, NZ - 1
-        L = NX * NY * NZ
-        Pn = d.shape[0]
-        u = d[:, : 3 * L].reshape(Pn, NX, NY, NZ, 3)
-        cv = [
-            u[:, ox : ox + bx, oy : oy + by, oz : oz + bz, :]
-            for ox, oy, oz in _CORNERS
-        ]
+        u, cv, (bx, by, bz, NY, L, Pn) = self._stencil_views(d)
         out = jnp.zeros_like(u)
         for t in range(6):
             corn = _HEX_TO_TETS[t]
-            G = self.nhs_G[t]  # (4, 3) host f64 constants
+            getg, w = self._stencil_gw(t)
 
             # deformation gradient F_ij = delta_ij + sum_a u[a,i] G[a,j]
             F = [[None] * 3 for _ in range(3)]
@@ -834,8 +896,8 @@ class ShardedProblem:
                 for j in range(3):
                     s = None
                     for a in range(4):
-                        g = float(G[a, j])
-                        if g == 0.0:
+                        g = getg(a, j)
+                        if isinstance(g, float) and g == 0.0:
                             continue
                         term = cv[corn[a]][..., i] * g
                         s = term if s is None else s + term
@@ -864,14 +926,13 @@ class ShardedProblem:
                 for i in range(3)
             ]
 
-            w = float(self.nhs_dJw[t])
             for a in range(4):
                 comps = []
                 for i in range(3):
                     s = None
                     for j in range(3):
-                        g = float(G[a, j])
-                        if g == 0.0:
+                        g = getg(a, j)
+                        if isinstance(g, float) and g == 0.0:
                             continue
                         term = Ps[i][j] * g
                         s = term if s is None else s + term
@@ -883,10 +944,7 @@ class ShardedProblem:
                 out = out.at[
                     :, ox : ox + bx, oy : oy + by, oz : oz + bz, :
                 ].add(fa)
-        flat = out.reshape(Pn, 3 * L)
-        return jnp.concatenate(
-            [flat, jnp.zeros((Pn, self.DL - 3 * L), dtype=dt_)], axis=1
-        )
+        return self._stencil_fold(out, NY, L, Pn, dt_)
 
     def _lin_fint_stencil(self, d):
         """Linear-elastic internal forces on a structured box partition.
@@ -908,19 +966,11 @@ class ShardedProblem:
         dt_ = d.dtype
         mu = self.stn_mu
         lmd = self.stn_lmd
-        NX, NY, NZ = self.nhs_dims
-        bx, by, bz = NX - 1, NY - 1, NZ - 1
-        L = NX * NY * NZ
-        Pn = d.shape[0]
-        u = d[:, : 3 * L].reshape(Pn, NX, NY, NZ, 3)
-        cv = [
-            u[:, ox : ox + bx, oy : oy + by, oz : oz + bz, :]
-            for ox, oy, oz in _CORNERS
-        ]
+        u, cv, (bx, by, bz, NY, L, Pn) = self._stencil_views(d)
         out = jnp.zeros_like(u)
         for t in range(6):
             corn = _HEX_TO_TETS[t]
-            G = self.nhs_G[t]  # (4, 3) host f64 constants
+            getg, w = self._stencil_gw(t)
 
             # displacement gradient H_ij = sum_a u[a,i] G[a,j]
             # (None = exactly zero; the per-type G zeros prune at trace)
@@ -929,8 +979,8 @@ class ShardedProblem:
                 for j in range(3):
                     s = None
                     for a in range(4):
-                        g = float(G[a, j])
-                        if g == 0.0:
+                        g = getg(a, j)
+                        if isinstance(g, float) and g == 0.0:
                             continue
                         term = cv[corn[a]][..., i] * g
                         s = term if s is None else s + term
@@ -957,14 +1007,15 @@ class ShardedProblem:
                         s = _add(s, lmd * tr)
                     sig[i][j] = sig[j][i] = s
 
-            w = float(self.nhs_dJw[t])
             for a in range(4):
                 comps = []
                 for i in range(3):
                     s = None
                     for j in range(3):
-                        g = float(G[a, j])
-                        if g == 0.0 or sig[i][j] is None:
+                        g = getg(a, j)
+                        if (isinstance(g, float) and g == 0.0) or (
+                            sig[i][j] is None
+                        ):
                             continue
                         s = _add(s, sig[i][j] * g)
                     comps.append(_z() if s is None else s * w)
@@ -973,10 +1024,7 @@ class ShardedProblem:
                 out = out.at[
                     :, ox : ox + bx, oy : oy + by, oz : oz + bz, :
                 ].add(fa)
-        flat = out.reshape(Pn, 3 * L)
-        return jnp.concatenate(
-            [flat, jnp.zeros((Pn, self.DL - 3 * L), dtype=dt_)], axis=1
-        )
+        return self._stencil_fold(out, NY, L, Pn, dt_)
 
     def _exchange_grid(self, F_int):
         """Halo exchange as a dimension-split face-plane sum on the part
@@ -1004,6 +1052,12 @@ class ShardedProblem:
         if py > 1:
             s = v[:, :-1, :, :, NY - 1] + v[:, 1:, :, :, 0]
             v = v.at[:, :-1, :, :, NY - 1].set(s).at[:, 1:, :, :, 0].set(s)
+        if self.grid_wrap:
+            # periodic theta part ring (tube): the seam interface pairs
+            # the last part's high plane with the first part's low plane
+            # (planes disjoint from the interior pairs above, incl. py=2)
+            s = v[:, -1:, :, :, NY - 1] + v[:, :1, :, :, 0]
+            v = v.at[:, -1:, :, :, NY - 1].set(s).at[:, :1, :, :, 0].set(s)
         if pz > 1:
             s = v[:, :, :-1, :, :, NZ - 1] + v[:, :, 1:, :, :, 0]
             v = (
