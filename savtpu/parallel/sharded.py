@@ -294,6 +294,7 @@ class ShardedProblem:
         compensated: bool = False,
         material=None,
         nh_stencil: str = "auto",
+        shared_order=None,
     ) -> "ShardedProblem":
         """``material``: pass a ``NeoHookean`` instance to switch the
         stepper to per-step matrix-free nonlinear internal forces
@@ -301,7 +302,16 @@ class ShardedProblem:
 
         ``nh_stencil``: 'auto' upgrades the nh path to the structured-box
         stencil kernel when parallel/stencil.py detects an eligible
-        mesh+partition; 'off' forces the generic gather path."""
+        mesh+partition; 'off' forces the generic gather path.
+
+        ``shared_order``: optional per-part arrays of global node ids — a
+        permutation of each part's shared-node set — fixing the shared
+        CHANNEL order of sld/sgi/smask (and everything derived from them:
+        predictions, recorded traces, face maps). The pipeline passes the
+        order stored in existing artifacts so that stage reruns with a
+        different fint_mode (whose RCM/lex reorder would otherwise induce
+        a different channel order) stay bit-compatible with traces and
+        models trained on those artifacts."""
         from ..ops.material import NeoHookean as _NH
 
         if isinstance(material, _NH):
@@ -381,6 +391,19 @@ class ShardedProblem:
                 # stencil layout needs box-lexicographic local node order
                 # (sp.maps is then the authoritative map set, as above)
                 maps = _stencil.lex_reorder_maps(maps, nh_box)
+        if shared_order is not None:
+            import dataclasses as _dc
+
+            so = [np.asarray(s, dtype=np.int64) for s in shared_order]
+            for p in range(maps.n_parts):
+                if not np.array_equal(
+                    np.sort(so[p]), np.sort(np.asarray(maps.shared_nodes[p]))
+                ):
+                    raise ValueError(
+                        f"shared_order for part {p} is not a permutation "
+                        f"of that part's shared-node set"
+                    )
+            maps = _dc.replace(maps, shared_nodes=so)
         npn = maps.n_parts
         dtype = dtype or prob.lumped_M.dtype
         L_max = maps.max_local_nodes

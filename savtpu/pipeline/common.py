@@ -36,6 +36,13 @@ class StageContext:
     solver: ShardedSolver
     store: ArtifactStore
     warm_thread: "object" = None  # _warm_device_link's thread, if any
+    # artifact-layout adoption (see _load_artifact_layout): when existing
+    # per-rank label CSVs describe the same partition, their channel and
+    # node ORDER is authoritative — stage reruns with a different
+    # fint_mode (hence a different RCM/lex local order) must stay
+    # bit-compatible with traces/models already on disk.
+    artifact_local_nodes: "list | None" = None  # per-rank node ids, CSV order
+    artifact_local_perm: "list | None" = None   # per-rank perm cur->CSV (or None)
 
     def join_warm(self, timeout: float = 200.0) -> None:
         """Wait for the warm-up fetch before timing-sensitive sections.
@@ -127,6 +134,42 @@ def _warm_device_link() -> "object":
     return th
 
 
+def _load_artifact_layout(store: ArtifactStore, maps: PartitionMaps):
+    """(shared_order, local_order) from existing per-rank label CSVs, or
+    (None, None) when absent/incompatible.
+
+    Stage 1 writes Local_nodes/Shared_nodes CSVs in the layout its
+    ShardedProblem build chose (RCM for banded, box-lex for stencil/grid,
+    first-touch otherwise) and every trace artifact (Dynamics,
+    sol_on_shared, trained model channels) follows that order. A later
+    stage — or a stage-4 rerun — built with a DIFFERENT fint_mode would
+    induce a different order and silently permute every channel against
+    the on-disk artifacts (the round-4 384^3 head-to-head measured 1.61%
+    vs 0.008% rel-L2 from exactly this). When the stored node SETS match
+    the current partition, the stored ORDER is adopted instead."""
+    n = maps.n_parts
+    try:
+        if not all(
+            store.shared_csv(r).exists() and store.local_nodes_csv(r).exists()
+            for r in range(n)
+        ):
+            return None, None
+        shared = [store.load_int_csv(store.shared_csv(r)) for r in range(n)]
+        local = [
+            store.load_int_csv(store.local_nodes_csv(r)) for r in range(n)
+        ]
+    except (OSError, ValueError):
+        return None, None
+    for r in range(n):
+        if not np.array_equal(
+            np.sort(shared[r]), np.sort(np.asarray(maps.shared_nodes[r]))
+        ) or not np.array_equal(
+            np.sort(local[r]), np.sort(np.asarray(maps.local_nodes[r]))
+        ):
+            return None, None  # different partition: stage 1 will rewrite
+    return shared, local
+
+
 def build_context(
     cfg: Config,
     mesh=None,
@@ -194,11 +237,14 @@ def build_context(
             f"unknown material.model {cfg.material.model!r}; expected "
             "'linear' or 'neo_hookean'"
         )
+    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
+    shared_order, art_local = _load_artifact_layout(store, maps)
     sp = ShardedProblem.build(
         prob, maps, fint_mode=cfg.solver.fint_mode, dtype=dtype,
         exchange_mode=cfg.solver.exchange_mode,
         compensated=compensated, material=material,
         nh_stencil=cfg.solver.nh_stencil,
+        shared_order=shared_order,
     )
     mark("device_pack_s")
     # fint_mode='banded' RCM-reorders the local DOF layout inside
@@ -211,8 +257,27 @@ def build_context(
     # 6-10% independent of the surrogate.
     if sp.maps is not None:
         maps = sp.maps
+    # local node ORDER may still differ from the artifacts (RCM vs lex vs
+    # first-touch); trajectory writers permute rows to the artifact order
+    # so Dynamics/modeled h5 stay row-compatible across stage reruns
+    art_perm = None
+    if art_local is not None:
+        perms, differs = [], False
+        for r in range(maps.n_parts):
+            cur = np.asarray(maps.local_nodes[r])
+            if np.array_equal(cur, art_local[r]):
+                perms.append(None)
+            else:
+                lookup = {int(g): i for i, g in enumerate(cur)}
+                perms.append(
+                    np.array(
+                        [lookup[int(g)] for g in art_local[r]],
+                        dtype=np.int64,
+                    )
+                )
+                differs = True
+        art_perm = perms if differs else None
     solver = ShardedSolver(sp, mesh=device_mesh)
-    store = ArtifactStore(cfg.workdir, cfg.model_dir, cfg.surrogate.run_tag())
     from ..utils import stage_log
 
     stage_log(cfg).log(
@@ -225,20 +290,39 @@ def build_context(
         ),
         **tmarks,
     )
-    return StageContext(cfg, prob, maps, sp, solver, store, warm_thread=warm_th)
+    return StageContext(
+        cfg, prob, maps, sp, solver, store, warm_thread=warm_th,
+        artifact_local_nodes=art_local, artifact_local_perm=art_perm,
+    )
 
 
 def save_partition_labels(ctx: StageContext) -> None:
-    """Rank-wise node/element/shared CSV labels (Data_prepare.py:116-124)."""
+    """Rank-wise node/element/shared CSV labels (Data_prepare.py:116-124).
+
+    Under artifact-layout adoption the local-node CSVs keep the ORDER the
+    artifacts were written in (the current build's internal order may
+    differ — trajectory writers permute, see rank_trajectory)."""
     maps, store = ctx.maps, ctx.store
+    local = ctx.artifact_local_nodes or maps.local_nodes
     for r in range(maps.n_parts):
-        store.save_int_csv(store.local_nodes_csv(r), maps.local_nodes[r])
+        store.save_int_csv(store.local_nodes_csv(r), local[r])
         store.save_int_csv(store.shared_csv(r), maps.shared_nodes[r])
         store.save_int_csv(store.elements_csv(r), maps.local_elements[r])
     store.save_int_csv(store.global_shared_csv(), maps.global_shared)
 
 
 def rank_trajectory(ctx: StageContext, traj, r: int) -> np.ndarray:
-    """(P, T, DL) stacked trajectory -> reference layout (3*n_local, T)."""
+    """(P, T, DL) stacked trajectory -> reference layout (3*n_local, T),
+    rows permuted to the artifact node order when one was adopted."""
     n_real = 3 * len(ctx.maps.local_nodes[r])
-    return np.asarray(traj[r][:, :n_real]).T
+    rows = np.asarray(traj[r][:, :n_real])
+    perm = (
+        ctx.artifact_local_perm[r]
+        if ctx.artifact_local_perm is not None
+        else None
+    )
+    if perm is not None:
+        rows = rows.reshape(len(rows), -1, 3)[:, perm].reshape(
+            len(rows), n_real
+        )
+    return rows.T
