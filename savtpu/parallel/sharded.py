@@ -1903,20 +1903,64 @@ class ShardedSolver:
 
         carry = (d0, dn, jnp.asarray(t0))
         done = 0
-        # probe plan: two small dispatches first (the second one runs the
+        # Probe plan: two small dispatches first (the second one runs the
         # already-compiled program, so its wall time is a clean rate
-        # measurement), then re-size chunk_steps for the remainder
+        # measurement), then re-size chunk_steps for the remainder.
+        #
+        # COMPILE DISCIPLINE: every distinct dispatch length is a separate
+        # XLA program — at 384^3/256 a single compile of the exchanged
+        # record scan is minutes, and the old free-running sizes (probe,
+        # resized chunk, ragged tail) paid 3-4 of them per call (the bulk
+        # of the 350-550 s stage-4 "warmup_s", docs/STATUS_r4.md #8). The
+        # probe size is chosen to DIVIDE num_steps and the resized chunk
+        # is a MULTIPLE of the probe, so every dispatch is probe- or
+        # chunk-sized: at most 2 compiled programs, and exactly 1 for
+        # short runs (the stage-4 warm-up) which skip the resize entirely.
         probe_steps = 0
         if adaptive and chunk_steps > save_every:
-            probe_steps = max(save_every, min(1000, chunk_steps // 4))
+            # prefer the largest divisor <= 1000 so different stages'
+            # short runs land on the SAME program (stage-1 probes and the
+            # stage-4 warm-up both dispatch 1000-step chunks -> one
+            # persistent-cache entry instead of per-stage compiles)
+            probe_steps = max(
+                save_every, min(1000, chunk_steps, num_steps)
+            )
             probe_steps -= probe_steps % save_every
-            if num_steps <= 3 * probe_steps:
+            while probe_steps > save_every and num_steps % probe_steps:
+                probe_steps -= save_every
+            if num_steps % probe_steps or num_steps < 3 * probe_steps:
                 probe_steps = 0
+        if probe_steps and num_steps <= 16 * probe_steps:
+            # short run: uniform probe-sized dispatches, one program
+            chunk_steps = probe_steps
+            probe_steps = 0
+
+        from ..utils.offload import fetch_into as _fetch_into
+
+        pending = None  # (traj_dev, shared_dev, done_lo, n) not yet fetched
+
+        def _flush():
+            nonlocal pending
+            if pending is None:
+                return
+            traj_c, shared_c, lo, n = pending
+            if traj_h is not None:
+                _fetch_into(
+                    traj_h[:, lo // save_every : (lo + n) // save_every],
+                    traj_c,
+                )
+            if shared_h is not None:
+                _fetch_into(shared_h[:, lo : lo + n], shared_c)
+            pending = None
+
         n_dispatch = 0
         while done < num_steps:
             n = min(chunk_steps, num_steps - done)
-            if probe_steps and n_dispatch < 2:
-                n = min(probe_steps, num_steps - done)
+            if probe_steps:
+                if n_dispatch < 2:
+                    n = probe_steps
+                elif num_steps - done < chunk_steps:
+                    n = probe_steps  # tail reuses the probe program
             pc = None if preds is None else preds[:, done : done + n]
             d0c, dnc, tc = carry
             t_disp = time.perf_counter()
@@ -1924,23 +1968,30 @@ class ShardedSolver:
                 d0c, dnc, tc, n,
                 sync=sync, preds=pc, record=record, save_every=save_every,
             )
-            jax.block_until_ready(carry)
-            dt_disp = time.perf_counter() - t_disp
-            if probe_steps and n_dispatch == 1:
-                # target ~45 s per dispatch: the remote worker's
-                # watchdog killed a 71 s dispatch at 384^3/256 while
-                # 60 s chunks survived — keep real margin below that
-                rate = n / max(dt_disp, 1e-6)
-                sized = int(rate * 45.0)
-                sized -= sized % save_every
-                chunk_steps = max(save_every, min(chunk_steps, sized))
+            # double-buffered offload: fetch the PREVIOUS chunk while this
+            # one computes (the dispatch above is async); probes block for
+            # a clean rate measurement
+            _flush()
+            if probe_steps and n_dispatch <= 1:
+                jax.block_until_ready(carry)
+                dt_disp = time.perf_counter() - t_disp
+                if n_dispatch == 1:
+                    # target ~45 s per dispatch: the remote worker's
+                    # watchdog killed a 71 s dispatch at 384^3/256 while
+                    # 60 s chunks survived — keep real margin below that.
+                    # Rounded DOWN to a multiple of the probe size so the
+                    # tail dispatches reuse the probe program.
+                    rate = n / max(dt_disp, 1e-6)
+                    sized = int(rate * 45.0)
+                    sized -= sized % probe_steps
+                    chunk_steps = max(
+                        probe_steps, min(chunk_steps, sized)
+                    )
+                    chunk_steps -= chunk_steps % probe_steps
             n_dispatch += 1
-            if traj_h is not None:
-                lo = done // save_every
-                traj_h[:, lo : lo + n // save_every] = np.asarray(traj_c)
-            if shared_h is not None:
-                shared_h[:, done : done + n] = np.asarray(shared_c)
+            pending = (traj_c, shared_c, done, n)
             done += n
+        _flush()
         return (traj_h, shared_h), carry
 
     def _build(self, num_steps, sync, record, no_preds, save_every=1,

@@ -332,6 +332,16 @@ def test_run_streamed_matches_run():
     )
     assert np.allclose(np.asarray(trajM), trajMS, atol=1e-14)
 
+    # adaptive sizing (chunk_steps=None): probe-divisor/uniform dispatch
+    # plan — the compile-discipline path the pipeline stages run
+    (trajA, sharedA), carryA = solver.run_streamed(
+        d0, dnl, 0.0, num_steps, sync=True, save_every=se
+    )
+    assert np.allclose(np.asarray(traj), trajA, atol=1e-14)
+    assert np.allclose(np.asarray(shared), sharedA, atol=1e-14)
+    for a, b in zip(carry, carryA):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
 
 @pytest.mark.parametrize("n_parts", [2, 4, 8])
 def test_permute_exchange_matches_psum(n_parts):
