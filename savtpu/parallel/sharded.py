@@ -1741,7 +1741,8 @@ class ShardedSolver:
     _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
                    "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
                    "nx_src", "ecoords", "nh_G", "nh_detJw", "nh_gather",
-                   "stn_face_cidx", "stn_face_mask", "stn_conc_idx")
+                   "stn_face_cidx", "stn_face_mask", "stn_conc_idx",
+                   "nhs_Gc", "nhs_dJwc")
 
     def _data(self):
         """Per-part array pytree — passed as jit/shard_map *arguments* so

@@ -244,6 +244,44 @@ def test_tube_online_faces_match_generic():
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-15)
 
 
+def test_tube_stencil_under_device_mesh():
+    """The tube stencil path (per-cell geometry arrays nhs_Gc/nhs_dJwc,
+    exchanged + comm-free with face-plane online access) executing
+    INSIDE shard_map over an 8-virtual-device mesh matches the
+    single-device emulation to 1e-12. Regression: nhs_Gc originally
+    rode as a closure constant with a full P leading axis instead of a
+    sharded _data() argument — correct under vmap emulation, shape
+    error under a real mesh."""
+    import jax.numpy as jnp
+
+    from savtpu.parallel import make_device_mesh
+
+    mesh = _tube(n_r=2, n_theta=8, n_z=8)
+    prob, maps = _setup(mesh, 8)
+    sp = ShardedProblem.build(
+        prob, maps, fint_mode="stencil", dtype=jnp.float64,
+        compensated=True,
+    )
+    assert sp.nhs_Gc is not None
+    steps, se = 40, 5
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    out = {}
+    for key, dm in (("emul", None), ("mesh", make_device_mesh(8))):
+        (traj, sh), carry = ShardedSolver(sp, mesh=dm).run(
+            d0, dnl, 0.0, steps, sync=True, record="all", save_every=se
+        )
+        # comm-free leg with the recorded shared rows as predictions
+        (traj2, _), _ = ShardedSolver(sp, mesh=dm).run(
+            d0, dnl, 0.0, steps, sync=False, preds=sh,
+            record="traj", save_every=se,
+        )
+        out[key] = (np.asarray(traj), np.asarray(sh), np.asarray(traj2))
+    for a, b in zip(out["mesh"], out["emul"]):
+        nb = np.linalg.norm(b)
+        assert np.linalg.norm(a - b) <= 1e-12 * max(nb, 1e-30)
+
+
 def test_tube_msh_roundtrip_keeps_fast_path():
     """The .msh ingestion path (how a real coronary mesh arrives) must
     preserve stencil eligibility: write the tube, read it back, the
