@@ -173,13 +173,16 @@ def read_mesh(path: str | Path) -> Mesh:
     — the ingestion surface matching the reference's meshio.read call
     (Data_prepare.py:57)."""
     from .vtk_io import read_vtk
+    from .vtu_io import read_vtu
 
     suffix = Path(path).suffix.lower()
     if suffix == ".msh":
         return read_msh(path)
     if suffix == ".vtk":
         return read_vtk(path)
+    if suffix == ".vtu":
+        return read_vtu(path)
     raise ValueError(
         f"{path}: unsupported mesh format '{suffix}' (supported: .vtk "
-        f"legacy ASCII, .msh gmsh 2.2/4.1 ASCII)"
+        f"legacy ASCII, .vtu XML, .msh gmsh 2.2/4.1 ASCII)"
     )
