@@ -156,6 +156,21 @@ def test_unknown_cell_types_skipped(tmp_path):
     _assert_same(m, read_vtu(p))
 
 
+def test_vtu_msh_vtk_agree(tmp_path):
+    """The same mesh written as .vtu, .msh, and legacy .vtk reads back
+    identically through the read_mesh dispatcher — so cfg.mesh_path
+    (solvers/problem.py:75) is format-agnostic."""
+    from savtpu.mesh import write_msh
+    from savtpu.mesh.vtk_io import write_vtk
+
+    m = _small_mesh()
+    write_vtu(tmp_path / "m.vtu", m)
+    write_msh(tmp_path / "m.msh", m)
+    write_vtk(tmp_path / "m.vtk", m)
+    for ext in ("vtu", "msh", "vtk"):
+        _assert_same(m, read_mesh(tmp_path / f"m.{ext}"))
+
+
 def test_big_endian_rejected(tmp_path):
     doc = _vtu_ascii(_small_mesh()).decode().replace(
         'byte_order="LittleEndian"', 'byte_order="BigEndian"')
