@@ -25,7 +25,7 @@ import base64
 import re
 import zlib
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
