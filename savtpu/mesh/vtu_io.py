@@ -63,9 +63,14 @@ def read_vtu(path: str | Path) -> Mesh:
     def data(parent_tag: str, name: str) -> np.ndarray:
         parent = piece.find(parent_tag)
         if parent is not None:
-            for da in parent.findall("DataArray"):
+            arrays = parent.findall("DataArray")
+            for da in arrays:
                 if da.get("Name") == name:
                     return _decode_array(da, appended, header_dtype, compressed, path)
+            # the VTK spec does not require a Name on the Points array —
+            # a <Points> element holds exactly one DataArray, so take it
+            if parent_tag == "Points" and len(arrays) == 1:
+                return _decode_array(arrays[0], appended, header_dtype, compressed, path)
         raise ValueError(f"{path}: missing {parent_tag}/DataArray[@Name={name!r}]")
 
     npts = int(piece.get("NumberOfPoints", "0"))

@@ -78,6 +78,15 @@ def test_ascii(tmp_path):
     _assert_same(m, read_vtu(p))
 
 
+def test_unnamed_points_array(tmp_path):
+    # the VTK spec does not require Name= on the Points DataArray; a
+    # <Points> element holds exactly one array, so the reader takes it
+    m = _small_mesh()
+    p = tmp_path / "a.vtu"
+    p.write_bytes(_vtu_ascii(m).replace(b'Name="Points" ', b""))
+    _assert_same(m, read_vtu(p))
+
+
 def _b64_block(data: bytes, header_dtype, compress: bool) -> bytes:
     """Encode one DataArray payload the way VTK does inline/appended-b64."""
     if not compress:
