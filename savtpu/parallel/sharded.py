@@ -281,6 +281,9 @@ class ShardedProblem:
     grid_inv: Optional[jnp.ndarray] = None    # (P,) box-lex slot of part
     grid_wrap: bool = False                   # y part axis is a periodic
                                               # ring (tube): one seam pair
+    grid_pairs: Optional[tuple] = None        # 6 ppermute pair lists
+                                              # (x+,x-,y+,y-,z+,z-) for the
+                                              # device-mesh grid exchange
 
     # ------------------------------------------------------------------
     @classmethod
@@ -600,13 +603,36 @@ class ShardedProblem:
             slot_of_part = (pi * py + pj) * pz + pk  # (P,)
             perm = np.empty(npn, dtype=np.int32)    # part id at each slot
             perm[slot_of_part] = np.arange(npn)
+            wrap = bool(grid_box.wrap_y and py > 1)
+            # device-mesh ppermute pairs (sender part -> +axis neighbor
+            # part, and reversed): under shard_map each axis pass sends
+            # the high face plane forward / the low plane backward and
+            # adds what arrives — same dimension-split edge/corner
+            # propagation as _exchange_grid, O(face) volume on ICI
+            P3 = perm.reshape(px, py, pz)
+
+            def _zip(a, b):
+                return tuple(
+                    zip(a.ravel().tolist(), b.ravel().tolist())
+                )
+
+            yf = (_zip(P3, np.roll(P3, -1, axis=1)) if wrap
+                  else _zip(P3[:, :-1], P3[:, 1:]))
+            yb = (_zip(P3, np.roll(P3, 1, axis=1)) if wrap
+                  else _zip(P3[:, 1:], P3[:, :-1]))
             grid_kwargs = dict(
                 grid_pdims=(px, py, pz),
                 grid_ndims=grid_box.node_dims,
                 grid_perm=jnp.asarray(perm),
                 grid_inv=jnp.asarray(slot_of_part.astype(np.int32)),
                 # periodic theta part ring: the y pass gains a seam pair
-                grid_wrap=bool(grid_box.wrap_y and py > 1),
+                grid_wrap=wrap,
+                grid_pairs=(
+                    _zip(P3[:-1], P3[1:]), _zip(P3[1:], P3[:-1]),
+                    yf, yb,
+                    _zip(P3[:, :, :-1], P3[:, :, 1:]),
+                    _zip(P3[:, :, 1:], P3[:, :, :-1]),
+                ),
             )
 
         nx_kwargs = {}
@@ -1090,6 +1116,39 @@ class ShardedProblem:
         flat = v.reshape(P, 3 * L)[self.grid_inv]
         return jnp.concatenate([flat, F_int[:, 3 * L :]], axis=1)
 
+    def _exchange_grid_mesh(self, F_int, permute_fn):
+        """Device-mesh variant of :meth:`_exchange_grid` (one part per
+        device, shard_map): each axis pass ppermutes the high face plane
+        to the +axis box neighbor and the low plane to the -axis one,
+        and every receiver adds the arriving plane — the same
+        dimension-split edge/corner propagation, with O(face-plane)
+        volume per step riding ICI instead of psum's O(3*|shared|).
+        Parts without a neighbor in a direction receive ppermute's
+        zeros, leaving their plane unchanged. ``permute_fn(buf, k)``
+        permutes with ``grid_pairs[k]`` (x+,x-,y+,y-,z+,z-)."""
+        NX, NY, NZ = self.grid_ndims
+        px, py, pz = self.grid_pdims
+        L = NX * NY * NZ
+        Pl = F_int.shape[0]  # local part count (1 under the mesh)
+        v = F_int[:, : 3 * L].reshape(Pl, NX, NY, NZ, 3)
+        for axis, (n, size, wrapped) in enumerate((
+            (px, NX, False),
+            (py, NY, self.grid_wrap),
+            (pz, NZ, False),
+        )):
+            if n == 1 and not wrapped:
+                continue
+            ax = axis + 1  # leading local-part axis
+            lo = jnp.take(v, jnp.asarray(0), axis=ax)
+            hi = jnp.take(v, jnp.asarray(size - 1), axis=ax)
+            recv_lo = permute_fn(hi, 2 * axis)      # -axis neighbor's hi
+            recv_hi = permute_fn(lo, 2 * axis + 1)  # +axis neighbor's lo
+            idx_lo = (slice(None),) * ax + (0,)
+            idx_hi = (slice(None),) * ax + (size - 1,)
+            v = v.at[idx_lo].set(lo + recv_lo).at[idx_hi].set(hi + recv_hi)
+        flat = v.reshape(Pl, 3 * L)
+        return jnp.concatenate([flat, F_int[:, 3 * L :]], axis=1)
+
     def _exchange(self, F_int, reduce_fn):
         # One FLAT scatter-add over all (part, slot) pairs into the (SD,)
         # global shared vector, instead of a vmapped per-part scatter that
@@ -1428,6 +1487,7 @@ class ShardedProblem:
         sync: bool,
         reduce_fn: Callable = lambda x: x,
         permute_fn: Optional[Callable] = None,
+        grid_permute_fn: Optional[Callable] = None,
         preds=None,              # (P, num_steps, 3*S_max) if not sync
         blend=None,              # (num_steps,) overwrite->dynamics weight
         record: str = "all",     # "all" | "traj" | "shared" | "none"
@@ -1472,7 +1532,11 @@ class ShardedProblem:
                         F_int, permute_fn or self._emulated_permute
                     )
                 elif self.exchange_mode == "grid":
-                    F_int = self._exchange_grid(F_int)
+                    F_int = (
+                        self._exchange_grid(F_int)
+                        if grid_permute_fn is None
+                        else self._exchange_grid_mesh(F_int, grid_permute_fn)
+                    )
                 else:
                     F_int = self._exchange(F_int, reduce_fn)
             return F_int
@@ -1722,11 +1786,13 @@ class ShardedSolver:
                     f"{n_dev} devices); use exchange_mode='psum' for "
                     "multiple parts per device"
                 )
-            if sp.exchange_mode == "grid":
+            if sp.exchange_mode == "grid" and sp.n_parts != n_dev:
                 raise ValueError(
-                    "exchange_mode='grid' sums face planes across ALL "
-                    "parts on one device (single-chip emulation); use "
-                    "'psum' or 'permute' under a device mesh"
+                    "exchange_mode='grid' under a device mesh ppermutes "
+                    "face planes between box-neighbor devices and needs "
+                    f"one part per device ({sp.n_parts} parts, {n_dev} "
+                    "devices); use exchange_mode='psum' for multiple "
+                    "parts per device"
                 )
 
     # measured ceiling for the whole-scan kernel's resident set (v5e has
@@ -2026,9 +2092,16 @@ class ShardedSolver:
                 if sync and self.sp.exchange_mode == "permute"
                 else None
             )
+            gpairs = self.sp.grid_pairs
+            grid_permute_fn = (
+                (lambda buf, k: jax.lax.ppermute(buf, AXIS, perm=gpairs[k]))
+                if sync and self.sp.exchange_mode == "grid"
+                else None
+            )
             return lsp.stacked_run(
                 d0, dn, t0, num_steps,
                 sync=sync, reduce_fn=reduce_fn, permute_fn=permute_fn,
+                grid_permute_fn=grid_permute_fn,
                 preds=preds, blend=blend, record=record,
                 save_every=save_every,
             )

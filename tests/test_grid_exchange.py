@@ -142,3 +142,65 @@ def test_grid_rejects_nonbox_partition():
         pytest.skip("graph partition happened to be box-aligned")
     with pytest.raises(ValueError, match="grid"):
         ShardedProblem.build(prob, maps, exchange_mode="grid")
+
+
+def test_grid_under_device_mesh_matches_emulated():
+    """The production grid exchange under shard_map on 8 virtual devices
+    (one part per device): each axis pass ppermutes face planes between
+    box-neighbor devices (_exchange_grid_mesh). Must equal the
+    single-device emulation bit-for-bit, on both the plain and the
+    compensated step, and with stencil fint (the 384^3 production
+    pairing)."""
+    from savtpu.parallel.sharded import make_device_mesh
+
+    prob, maps = _setup(cells=(8, 4, 4), n_parts=8)  # 2x2x2 boxes
+    for fint_mode, compensated in (("dense", False), ("stencil", True)):
+        sp = ShardedProblem.build(
+            prob, maps, fint_mode=fint_mode, exchange_mode="grid",
+            compensated=compensated,
+        )
+        d0 = sp.localize(prob.d0)
+        dnl = sp.localize(prob.dn)
+        (te, she), _ = ShardedSolver(sp, mesh=None).run(
+            d0, dnl, 0.0, 40, sync=True
+        )
+        (tm, shm), _ = ShardedSolver(sp, mesh=make_device_mesh(8)).run(
+            d0, dnl, 0.0, 40, sync=True
+        )
+        assert np.allclose(np.asarray(te), np.asarray(tm), atol=1e-12), (
+            fint_mode, compensated,
+        )
+        assert np.allclose(np.asarray(she), np.asarray(shm), atol=1e-12)
+
+    # multiple parts per device must be rejected
+    sp = ShardedProblem.build(prob, maps, exchange_mode="grid")
+    with pytest.raises(ValueError, match="one part per device"):
+        ShardedSolver(sp, mesh=make_device_mesh(4))
+
+
+def test_grid_under_device_mesh_periodic_tube():
+    """The theta-periodic tube's seam pair rides the wrapped y ppermute
+    ring under the device mesh."""
+    from savtpu.mesh import tube_mesh
+    from savtpu.parallel.sharded import make_device_mesh
+    from savtpu.solvers import setup_problem as _setup_problem
+
+    cfg = Config()
+    mesh = tube_mesh(n_r=1, n_theta=8, n_z=4)
+    prob = _setup_problem(cfg, mesh=mesh)
+    epart = partition_elements(
+        prob.mesh.tetra, prob.mesh.points, 8, method="box"
+    )
+    dn = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points, axis=2)
+    maps = build_partition_maps(
+        prob.mesh.tetra, epart, prob.mesh.num_points, dn
+    )
+    sp = ShardedProblem.build(prob, maps, exchange_mode="grid")
+    assert sp.grid_wrap  # the seam pair must actually be exercised
+    d0 = sp.localize(prob.d0)
+    dnl = sp.localize(prob.dn)
+    (te, _), _ = ShardedSolver(sp, mesh=None).run(d0, dnl, 0.0, 40, sync=True)
+    (tm, _), _ = ShardedSolver(sp, mesh=make_device_mesh(8)).run(
+        d0, dnl, 0.0, 40, sync=True
+    )
+    assert np.allclose(np.asarray(te), np.asarray(tm), atol=1e-12)
