@@ -530,6 +530,11 @@ def fit_stacked(
     ref_work = 16 * 295 * 20 * 486 * 50
     work = max(Pn * n_train * X.shape[2] * Dmax * cfg.hidden_size, 1)
     per_epoch_ms = 54.0 * work / ref_work
+    # the flop model under-counts at high model counts (the vmapped
+    # per-shard LSTMs stop amortizing): a 256-shard hybrid residual fit
+    # crashed the remote worker's watchdog with the plain estimate, so
+    # pad it by the shard count past the 64-shard calibration regime
+    per_epoch_ms *= max(1.0, Pn / 64.0)
     chunk_budget = max(10, int(15_000 / max(per_epoch_ms, 1e-3)))
     chunk = max(1, min(int(getattr(cfg, "epoch_chunk", 0) or 250),
                        chunk_budget, cfg.epochs))

@@ -78,6 +78,11 @@ def main():
                          "back through the .msh ingestion path; clamps "
                          "the z=0 end cap (overrides --cells)")
     ap.add_argument("--tube-length", type=float, default=5.0)
+    ap.add_argument("--from-stage", type=int, default=1,
+                    choices=(1, 2, 3, 4),
+                    help="resume from this stage, reusing the earlier "
+                         "stages' artifacts already in OUT (artifact-"
+                         "layout adoption keeps orders consistent)")
     ap.add_argument("--material", type=str, default=None,
                     choices=("linear", "neo_hookean"),
                     help="material.model (neo_hookean = per-step "
@@ -148,11 +153,14 @@ def main():
     t = {"start": time.time()}
     ctx = build_context(cfg, dtype=jnp.float32)
     t["setup"] = time.time()
-    data_prepare.run(cfg, ctx=ctx)
+    if args.from_stage <= 1:
+        data_prepare.run(cfg, ctx=ctx)
     t["stage1"] = time.time()
-    shared_extraction.run(cfg)
+    if args.from_stage <= 2:
+        shared_extraction.run(cfg)
     t["stage2"] = time.time()
-    model_training.run(cfg)
+    if args.from_stage <= 3:
+        model_training.run(cfg)
     t["stage3"] = time.time()
     online_predictor.run(cfg, ctx=ctx)
     t["stage4"] = time.time()
@@ -199,6 +207,7 @@ def main():
             "tube": list(args.tube) if args.tube else None,
             "parts": args.parts,
             "steps": args.steps,
+            "from_stage": args.from_stage,
             "epochs": cfg.surrogate.epochs,
             "device": str(jax.devices()[0]),
         },
