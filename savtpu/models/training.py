@@ -532,9 +532,12 @@ def fit_stacked(
     per_epoch_ms = 54.0 * work / ref_work
     # the flop model under-counts at high model counts (the vmapped
     # per-shard LSTMs stop amortizing): a 256-shard hybrid residual fit
-    # crashed the remote worker's watchdog with the plain estimate, so
-    # pad it by the shard count past the 64-shard calibration regime
-    per_epoch_ms *= max(1.0, Pn / 64.0)
+    # crashed the remote worker's watchdog with the plain estimate.
+    # `work` is already linear in Pn, so pad by sqrt(Pn/64) — enough to
+    # absorb the observed sublinear non-amortization without making the
+    # modeled cost quadratic in shard count (which shrank chunks 4x at
+    # 256 shards and quadrupled dispatch overhead).
+    per_epoch_ms *= max(1.0, (Pn / 64.0) ** 0.5)
     chunk_budget = max(10, int(15_000 / max(per_epoch_ms, 1e-3)))
     chunk = max(1, min(int(getattr(cfg, "epoch_chunk", 0) or 250),
                        chunk_budget, cfg.epochs))

@@ -150,6 +150,55 @@ def main():
     if args.epochs:
         cfg.surrogate.num_epochs = args.epochs
 
+    # --from-stage resume safety (ADVICE r4): persist a config fingerprint
+    # next to the artifacts and refuse to resume when the invocation's
+    # geometry/physics flags differ — silently mixing artifacts from a
+    # different configuration produces garbage far downstream.
+    fingerprint = {
+        "cells": list(args.cells) if not args.tube else None,
+        "tube": list(args.tube) if args.tube else None,
+        "parts": args.parts,
+        "steps": args.steps,
+        "material": cfg.material.model,
+        "pmethod": cfg.partition.method,
+        "fint": cfg.solver.fint_mode,
+        "exchange": cfg.solver.exchange_mode,
+        "arch": cfg.surrogate.arch,
+        "modal": cfg.surrogate.modal_dim,
+        "cutoff": cfg.surrogate.cut_off,
+    }
+    fp_path = out / "pipeline_fingerprint.json"
+    if args.from_stage > 1:
+        needed = {
+            2: [out / "Results" / "Dynamics"],
+            3: [out / "Results" / "sol_on_shared"],
+            4: [Path(cfg.model_dir)],
+        }
+        missing = [str(p) for s in range(2, args.from_stage + 1)
+                   for p in needed[s]
+                   if not (p.is_dir() and any(p.iterdir()))]
+        if missing:
+            raise SystemExit(
+                f"--from-stage {args.from_stage}: required artifacts "
+                f"missing/empty in {out}: {missing}"
+            )
+        if fp_path.exists():
+            prev = json.loads(fp_path.read_text())
+            diffs = {k: (prev.get(k), v) for k, v in fingerprint.items()
+                     if prev.get(k) != v}
+            if diffs:
+                raise SystemExit(
+                    f"--from-stage {args.from_stage}: config differs from "
+                    f"the run that produced {out} (prev, now): {diffs}; "
+                    "rerun from stage 1 or match the flags"
+                )
+        else:
+            print(f"[scale_demo] warning: no {fp_path.name} in {out} "
+                  "(pre-r5 artifacts); resuming on artifact existence only",
+                  flush=True)
+    out.mkdir(parents=True, exist_ok=True)
+    fp_path.write_text(json.dumps(fingerprint, indent=2))
+
     t = {"start": time.time()}
     ctx = build_context(cfg, dtype=jnp.float32)
     t["setup"] = time.time()

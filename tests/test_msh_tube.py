@@ -68,10 +68,60 @@ $EndElements
     assert "line" not in mesh.cells
 
 
-def test_msh_rejects_binary(tmp_path):
-    p = tmp_path / "bin.msh"
-    p.write_text("$MeshFormat\n2.2 1 8\n$EndMeshFormat\n")
-    with pytest.raises(ValueError, match="binary"):
+def test_msh22_binary_roundtrip(tmp_path):
+    """gmsh emits binary with -bin; reference reads it via meshio
+    (Data_prepare.py:57). Write binary 2.2, read back, compare exact."""
+    mesh = tube_mesh(n_r=1, n_theta=8, n_z=3)
+    p = tmp_path / "tube_bin22.msh"
+    write_msh(p, mesh, binary=True)
+    back = read_msh(p)
+    assert np.array_equal(back.points, mesh.points)
+    assert np.array_equal(back.tetra, mesh.tetra)
+    assert np.array_equal(back.triangles, mesh.triangles)
+    # the payload really is binary (int tags are raw, not ASCII digits)
+    assert b"\x01\x00\x00\x00" in p.read_bytes()
+
+
+def test_msh41_binary_roundtrip(tmp_path):
+    mesh = beam_mesh(3, 2, 2, extent=(3.0, 1.0, 1.0))
+    p = tmp_path / "beam_bin41.msh"
+    write_msh(p, mesh, binary=True, version="4.1")
+    back = read_msh(p)
+    assert np.array_equal(back.points, mesh.points)
+    assert np.array_equal(back.tetra, mesh.tetra)
+    assert np.array_equal(back.triangles, mesh.triangles)
+    assert np.array_equal(read_mesh(p).tetra, mesh.tetra)
+
+
+def test_msh22_binary_big_endian(tmp_path):
+    """Both endiannesses are legal; the embedded int-1 probe decides.
+    Hand-build a one-tet big-endian 2.2 binary file."""
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                   dtype=">f8")
+    buf = [b"$MeshFormat\n2.2 1 8\n",
+           np.array(1, dtype=">i4").tobytes(), b"\n$EndMeshFormat\n",
+           b"$Nodes\n4\n"]
+    for i in range(4):
+        buf.append(np.array(i + 1, dtype=">i4").tobytes())
+        buf.append(pts[i].tobytes())
+    buf += [b"\n$EndNodes\n$Elements\n1\n",
+            np.array([4, 1, 2], dtype=">i4").tobytes(),
+            np.array([1, 0, 0, 1, 2, 3, 4], dtype=">i4").tobytes(),
+            b"\n$EndElements\n"]
+    p = tmp_path / "be.msh"
+    p.write_bytes(b"".join(buf))
+    mesh = read_msh(p)
+    assert np.array_equal(mesh.points, pts.astype("<f8"))
+    assert np.array_equal(mesh.tetra, [[0, 1, 2, 3]])
+
+
+def test_msh_binary_truncated(tmp_path):
+    p = tmp_path / "bad.msh"
+    mesh = beam_mesh(2, 1, 1, extent=(2.0, 1.0, 1.0))
+    good = tmp_path / "good.msh"
+    write_msh(good, mesh, binary=True)
+    p.write_bytes(good.read_bytes()[:-40])
+    with pytest.raises(ValueError):
         read_msh(p)
 
 
