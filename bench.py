@@ -81,6 +81,27 @@ def _numpy_baseline_steps_per_sec(prob, maps, n_steps=2000):
     return best
 
 
+def _roofline_row(sp, steps_per_sec):
+    """Roofline/MFU fields (VERDICT r4 #7): analytic flops/step (exact
+    loop-structure count of the force kernel + update algebra) and the
+    analytic HBM-traffic floor (the carry/coefficient/operator arrays
+    that must stream every step), converted to achieved GB/s / GFLOP/s
+    and % of device peaks. The bytes model is a FLOOR, so %HBM is a
+    conservative lower bound on achieved bandwidth."""
+    from savtpu.utils import roofline as rl
+
+    floor = rl.bytes_floor_per_step(sp)
+    fl = rl.flops_model(sp)
+    row = rl.roofline(
+        steps_per_sec,
+        bytes_per_step=floor["bytes_per_step_floor"],
+        flops_per_step=fl["flops_per_step"],
+    )
+    row["bytes_model"] = floor
+    row["flops_model"] = fl
+    return row
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -91,6 +112,9 @@ def main():
     from savtpu.parallel.sharded import ShardedSolver
     from savtpu.solvers import setup_problem
 
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/savtpu_jax_cache"
+    )
     cfg = Config()
     ref_mesh = Path("/root/reference/Mesh_info/beam_coarse.vtk")
     mesh = read_vtk(ref_mesh) if ref_mesh.exists() else None
@@ -113,6 +137,8 @@ def main():
     n_steps = 30_000
     reps = 2
 
+    rooflines = {}
+
     def timed(fint_mode, sync):
         sp = ShardedProblem.build(
             prob, maps, fint_mode=fint_mode, dtype=jnp.float32
@@ -132,6 +158,9 @@ def main():
             )
             jax.block_until_ready(carry)
             best = max(best, n_steps / (time.perf_counter() - t0))
+        rooflines[f"{fint_mode}_{'exch' if sync else 'avoid'}"] = (
+            _roofline_row(sp, best)
+        )
         return best
 
     avoid_by_mode = {
@@ -161,6 +190,7 @@ def main():
         "sync_avoid_over_exchanged": avoid_sps / exch_sps,
         "element_updates_per_sec": avoid_sps * n_elem,
         "speedup_vs_numpy_reference": avoid_sps / base_sps,
+        "roofline_toy": rooflines,
         "scale_96x8x8_16shards": scale,
     }
     Path("BENCH_DETAILS.json").write_text(json.dumps(details, indent=2))
@@ -212,6 +242,8 @@ def _scale_row(n_steps=4000):
     prob = setup_problem(cfg, dtype=jnp.float32)
     dnodes = dirichlet_nodes(prob.mesh.triangles, prob.mesh.points)
 
+    rooflines = {}
+
     def timed(fint_mode, pmethod):
         epart = partition_elements(
             prob.mesh.tetra, prob.mesh.points, 16, pmethod
@@ -238,6 +270,7 @@ def _scale_row(n_steps=4000):
             )
             jax.block_until_ready(carry)
             best = max(best, n_steps / (time.perf_counter() - t0))
+        rooflines[fint_mode] = _roofline_row(sp, best)
         return best
 
     by_mode = {
@@ -255,6 +288,7 @@ def _scale_row(n_steps=4000):
         "compensated": True,
         "sync_avoiding_steps_per_sec": best,
         "element_updates_per_sec": best * len(prob.mesh.tetra),
+        "roofline": rooflines,
     }
 
 
