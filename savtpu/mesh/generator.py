@@ -133,6 +133,76 @@ def tube_mesh(
     return Mesh(points=points, cells={"tetra": tets, "triangle": tris})
 
 
+def irregular_beam_mesh(
+    nx: int = 25,
+    ny: int = 4,
+    nz: int = 4,
+    extent: tuple = (25.0, 1.0, 1.0),
+    jitter: float = 0.25,
+    grade: float = 1.5,
+    seed: int = 0,
+) -> Mesh:
+    """GENUINELY irregular tet mesh of the cantilever beam: graded,
+    jittered points + 3D Delaunay (gmsh-style unstructured output without
+    gmsh — the reference's natural input class, produced by its gmsh
+    workflow README.md:44 and consumed via meshio Data_prepare.py:56-62).
+
+    ``grade`` > 1 refines toward the clamped x=0 face (node spacing grows
+    as a power law along x, like a gmsh size field); ``jitter`` displaces
+    INTERIOR points by up to ``jitter``x the local spacing in all three
+    axes (boundary points stay exactly on their faces so the clamped-face
+    Dirichlet scan and the hull stay clean). The resulting connectivity
+    is a true Delaunay tetrahedralization — irregular node valences, no
+    logical grid — so ``parallel.stencil.detect_box_partition`` cannot
+    fire and the solver exercises its unstructured paths. Tets are
+    re-oriented to positive volume (scipy gives arbitrary orientation).
+    """
+    from scipy.spatial import Delaunay
+
+    Lx, Ly, Lz = extent
+    # graded x-abscissae: x_i = Lx * (i/nx)^grade, finest at the clamp
+    xs = Lx * (np.arange(nx + 1) / nx) ** grade
+    ys = np.linspace(0.0, Ly, ny + 1)
+    zs = np.linspace(0.0, Lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    rng = np.random.default_rng(seed)
+    # local spacing per point (forward-difference of the graded axis)
+    dx = np.diff(xs, append=xs[-1] + (xs[-1] - xs[-2]))
+    hx = dx[np.minimum(np.searchsorted(xs, pts[:, 0]), nx)]
+    hy, hz = Ly / ny, Lz / nz
+    h = np.stack([hx, np.full(len(pts), hy), np.full(len(pts), hz)], 1)
+    interior = (
+        (pts[:, 0] > 0) & (pts[:, 0] < Lx)
+        & (pts[:, 1] > 0) & (pts[:, 1] < Ly)
+        & (pts[:, 2] > 0) & (pts[:, 2] < Lz)
+    )
+    pts = pts + np.where(
+        interior[:, None],
+        rng.uniform(-jitter, jitter, pts.shape) * h,
+        0.0,
+    )
+
+    tets = Delaunay(pts).simplices.astype(np.int32)
+    P = pts[tets]
+    vol6 = np.einsum(
+        "ei,ei->e",
+        np.cross(P[:, 1] - P[:, 0], P[:, 2] - P[:, 0]),
+        P[:, 3] - P[:, 0],
+    )
+    flip = vol6 < 0
+    tets[flip] = tets[flip][:, [0, 2, 1, 3]]
+    # drop exactly-degenerate hull slivers (coplanar lattice points on
+    # the unjittered faces can tie in the Delaunay triangulation)
+    vol6 = np.abs(vol6)
+    keep = vol6 > 1e-12 * np.median(vol6)
+    tets = tets[keep]
+
+    tris = _boundary_triangles(tets)
+    return Mesh(points=pts, cells={"tetra": tets, "triangle": tris})
+
+
 def _boundary_triangles(tets: np.ndarray) -> np.ndarray:
     """Extract boundary faces: tet faces appearing exactly once."""
     faces = np.concatenate(

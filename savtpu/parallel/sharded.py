@@ -164,6 +164,66 @@ def _build_ell(npn, L_max, edofs, Ke, dtype):
     return jnp.asarray(ell_blocks, dtype=dtype), jnp.asarray(ell_cols)
 
 
+def _build_nh_window(npn, L_max, maps, cells, Gs, dJw, dtype,
+                     chunk_elems=256):
+    """Windowed one-hot layout for the unstructured nh path (VERDICT r4
+    #2). Host-side: per part (already RCM-ordered), sort elements by
+    minimum local node, chunk into fixed Ec-element groups, and record
+    each chunk's node-window start plus window-relative corner indices.
+    One static window width W (max over all chunks, padded to a sublane
+    multiple) keeps shapes uniform for the vmapped scan. Padded chunk
+    slots carry G = 0 (zero force) and relative index 0 (any in-window
+    target is harmless for a zero contribution)."""
+    loc_cells, E_real = [], []
+    for p in range(npn):
+        nodes = maps.local_nodes[p]
+        lookup = {int(g): i for i, g in enumerate(nodes)}
+        elems = maps.local_elements[p]
+        lc = np.array(
+            [[lookup[int(n)] for n in cells[e]] for e in elems],
+            dtype=np.int64,
+        ).reshape(len(elems), -1)
+        loc_cells.append(lc)
+        E_real.append(len(elems))
+    Ec = max(1, min(chunk_elems, max(E_real)))
+    NC = max((e + Ec - 1) // Ec for e in E_real)
+    orders, Wmax = [], 8
+    for p in range(npn):
+        lc = loc_cells[p]
+        order = np.argsort(lc.min(axis=1), kind="stable")
+        orders.append(order)
+        lco = lc[order]
+        for c in range(0, len(lco), Ec):
+            ch = lco[c : c + Ec]
+            Wmax = max(Wmax, int(ch.max() - ch.min() + 1))
+    W = -(-Wmax // 8) * 8
+    nb = loc_cells[0].shape[1] if loc_cells[0].size else 4
+    w0 = np.zeros((npn, NC), dtype=np.int32)
+    rel = np.zeros((npn, NC, Ec, nb), dtype=np.int32)
+    Gw = np.zeros((npn, NC, Ec, 4, 3))
+    dJww = np.zeros((npn, NC, Ec))
+    for p in range(npn):
+        order = orders[p]
+        lc = loc_cells[p][order]
+        Gp = Gs[p][: E_real[p]][order]
+        dp = dJw[p][: E_real[p]][order]
+        for ci, c in enumerate(range(0, E_real[p], Ec)):
+            ch = lc[c : c + Ec]
+            start = int(ch.min())
+            n = len(ch)
+            w0[p, ci] = start
+            rel[p, ci, :n] = ch - start
+            Gw[p, ci, :n] = Gp[c : c + Ec]
+            dJww[p, ci, :n] = dp[c : c + Ec]
+    return dict(
+        nhw_w0=jnp.asarray(w0),
+        nhw_idx=jnp.asarray(rel),
+        nhw_G=jnp.asarray(Gw, dtype=dtype),
+        nhw_dJw=jnp.asarray(dJww, dtype=dtype),
+        nhw_W=W,
+    )
+
+
 @dataclass
 class ShardedProblem:
     """Padded, stacked (leading part axis) device tensors of a partitioned
@@ -231,6 +291,21 @@ class ShardedProblem:
     # sentinel index past the end (reads an appended 0.0). segment_sum
     # scatter-add measured ~80x slower than fixed-width gather on TPU.
     nh_gather: Optional[jnp.ndarray] = None   # (P, DL, C_max) int32
+    # windowed one-hot MXU gather/scatter for the UNSTRUCTURED nh path
+    # (VERDICT r4 #2): local nodes are RCM-ordered and elements sorted by
+    # their minimum node, so each fixed-size element chunk touches only a
+    # narrow node WINDOW. The per-chunk gather u[eind] and scatter-add of
+    # nodal forces both become (chunk*4, W) one-hot matmuls against the
+    # dynamic-sliced window — MXU work instead of the serial-gather floor
+    # (selection rows are exact at any matmul precision; the scatter sum
+    # runs at HIGHEST). Replaces the reference's per-element Python loop
+    # over arbitrary tets (Tools/Mat_construction.py:79-119) on irregular
+    # meshes where no stencil applies.
+    nhw_w0: Optional[jnp.ndarray] = None      # (P, NC) window start node
+    nhw_idx: Optional[jnp.ndarray] = None     # (P, NC, Ec, 4) node - w0
+    nhw_G: Optional[jnp.ndarray] = None       # (P, NC, Ec, 4, 3) gradients
+    nhw_dJw: Optional[jnp.ndarray] = None     # (P, NC, Ec) detJ * sum(w)
+    nhw_W: Optional[int] = None               # static window width (nodes)
     # structured-box stencil variant of the nh path (parallel/stencil.py):
     # on a uniform Kuhn grid with box-aligned equal partitions the two
     # gathers above become shifted dense slices of a (NX, NY, NZ, 3) nodal
@@ -297,6 +372,7 @@ class ShardedProblem:
         compensated: bool = False,
         material=None,
         nh_stencil: str = "auto",
+        nh_gather: str = "auto",
         shared_order=None,
     ) -> "ShardedProblem":
         """``material``: pass a ``NeoHookean`` instance to switch the
@@ -394,6 +470,21 @@ class ShardedProblem:
                 # stencil layout needs box-lexicographic local node order
                 # (sp.maps is then the authoritative map set, as above)
                 maps = _stencil.lex_reorder_maps(maps, nh_box)
+        if nh_gather not in ("auto", "window", "incident"):
+            raise ValueError(
+                f"unknown nh_gather {nh_gather!r}; expected 'auto', "
+                f"'window' or 'incident'"
+            )
+        nh_window = (
+            fint_mode == "nh" and nh_box is None
+            and nh_gather in ("auto", "window")
+        )
+        if nh_window:
+            # windowed one-hot assembly wants a small per-part node
+            # bandwidth: RCM-reorder like the banded path
+            from .halo import rcm_reorder_maps
+
+            maps = rcm_reorder_maps(maps, prob.mesh.tetra)
         if shared_order is not None:
             import dataclasses as _dc
 
@@ -524,28 +615,33 @@ class ShardedProblem:
             for p in range(npn):
                 elems = maps.local_elements[p]
                 ec[p, : len(elems)] = coords_np[elems]
-            # incident lists: for each local DOF, the flat element-slot
-            # positions writing into it (vectorized sort + reduceat-style
-            # bucketing); sentinel E_max*nb3 reads an appended zero
-            sent = E_max * nb3
-            C_max = 1
-            per_part_pos = []
-            for p in range(npn):
-                flat_dof = edofs[p].reshape(-1)
-                real = flat_dof < DL - 1
-                pos = np.flatnonzero(real)
-                dofs = flat_dof[real]
-                order = np.argsort(dofs, kind="stable")
-                dofs, pos = dofs[order], pos[order]
-                counts = np.bincount(dofs, minlength=DL)
-                C_max = max(C_max, int(counts.max(initial=1)))
-                per_part_pos.append((dofs, pos, counts))
-            nh_gather = np.full((npn, DL, C_max), sent, dtype=np.int32)
-            for p, (dofs, pos, counts) in enumerate(per_part_pos):
-                offs = np.zeros(DL + 1, dtype=np.int64)
-                offs[1:] = np.cumsum(counts)
-                slot = np.arange(len(dofs)) - offs[dofs]
-                nh_gather[p, dofs, slot] = pos
+            nh_gather_idx = None
+            if not nh_window:
+                # incident lists: for each local DOF, the flat
+                # element-slot positions writing into it (vectorized sort
+                # + reduceat-style bucketing); sentinel E_max*nb3 reads
+                # an appended zero
+                sent = E_max * nb3
+                C_max = 1
+                per_part_pos = []
+                for p in range(npn):
+                    flat_dof = edofs[p].reshape(-1)
+                    real = flat_dof < DL - 1
+                    pos = np.flatnonzero(real)
+                    dofs = flat_dof[real]
+                    order = np.argsort(dofs, kind="stable")
+                    dofs, pos = dofs[order], pos[order]
+                    counts = np.bincount(dofs, minlength=DL)
+                    C_max = max(C_max, int(counts.max(initial=1)))
+                    per_part_pos.append((dofs, pos, counts))
+                nh_gather_idx = np.full(
+                    (npn, DL, C_max), sent, dtype=np.int32
+                )
+                for p, (dofs, pos, counts) in enumerate(per_part_pos):
+                    offs = np.zeros(DL + 1, dtype=np.int64)
+                    offs[1:] = np.cumsum(counts)
+                    slot = np.arange(len(dofs)) - offs[dofs]
+                    nh_gather_idx[p, dofs, slot] = pos
             # constant element geometry (host, f64): physical gradients
             # G = dN @ J^-1 and detJ * total weight; padded elements get
             # G = 0 so F = I there and P(I) = 0 -> zero force
@@ -570,10 +666,19 @@ class ShardedProblem:
             nh_kwargs = dict(
                 nh_material=material,
                 ecoords=jnp.asarray(ec, dtype=dtype),
-                nh_G=jnp.asarray(Gs, dtype=dtype),
-                nh_detJw=jnp.asarray(dJw, dtype=dtype),
-                nh_gather=jnp.asarray(nh_gather),
             )
+            if nh_window:
+                nh_kwargs.update(
+                    _build_nh_window(
+                        npn, L_max, maps, cells, Gs, dJw, dtype
+                    )
+                )
+            else:
+                nh_kwargs.update(
+                    nh_G=jnp.asarray(Gs, dtype=dtype),
+                    nh_detJw=jnp.asarray(dJw, dtype=dtype),
+                    nh_gather=jnp.asarray(nh_gather_idx),
+                )
 
         stn_kwargs = {}
         if fint_mode == "stencil":
@@ -727,6 +832,8 @@ class ShardedProblem:
         if self.fint_mode == "nh":
             if self.nhs_dims is not None:
                 return self._nh_fint_stencil(d)
+            if self.nhw_idx is not None:
+                return self._nh_fint_window(d)
             return self._nh_fint(d)
 
         if self.fint_mode == "stencil":
@@ -807,12 +914,29 @@ class ShardedProblem:
         vectorizes it. Assembly is a fixed-width incident-list gather
         (scatter-free). Padded elements have G = 0 -> F = I -> P(I) = 0.
         """
+        de = jax.vmap(lambda dp, ed: dp[ed])(d, self.edofs)  # (P, E, 12)
+        fe = self._nh_force_soa(de, self.nh_G, self.nh_detJw)
+
+        def assemble(fe_p, gi):
+            flat = jnp.concatenate(
+                [fe_p.reshape(-1), jnp.zeros((1,), dtype=fe_p.dtype)]
+            )
+            return flat[gi].sum(axis=-1)
+
+        return jax.vmap(assemble)(fe, self.nh_gather)
+
+    def _nh_force_soa(self, de, G, dJw):
+        """Per-element Neo-Hookean nodal forces, structure-of-arrays:
+        ``de`` (..., E, 12) element displacements (slot 3a+i), ``G``
+        (..., E, 4, 3) physical gradients, ``dJw`` (..., E) detJ*w ->
+        (..., E, 12) forces. Shared by the incident-gather and windowed
+        one-hot assembly paths (identical math, broadcast over any
+        leading axes). Padded elements must carry G = 0 -> F = I ->
+        P(I) = 0 -> zero force."""
         mat = self.nh_material
-        dt_ = d.dtype
+        dt_ = de.dtype
         mu = jnp.asarray(mat.mu, dt_)
         lmd = jnp.asarray(mat.lmd, dt_)
-        de = jax.vmap(lambda dp, ed: dp[ed])(d, self.edofs)  # (P, E, 12)
-        G = self.nh_G                                        # (P, E, 4, 3)
 
         # deformation gradient F_ij = delta_ij + sum_a u[a,i] G[a,j]
         F = [[None] * 3 for _ in range(3)]
@@ -847,7 +971,6 @@ class ShardedProblem:
         ]
 
         # nodal forces f[a,i] = sum_j P_ij G[a,j] * detJ*w, slot a*3+i
-        dJw = self.nh_detJw
         fe = []
         for a in range(4):
             for i in range(3):
@@ -859,15 +982,73 @@ class ShardedProblem:
                     )
                     * dJw
                 )
-        fe = jnp.stack(fe, axis=-1)                          # (P, E, 12)
+        return jnp.stack(fe, axis=-1)                        # (..., E, 12)
 
-        def assemble(fe_p, gi):
-            flat = jnp.concatenate(
-                [fe_p.reshape(-1), jnp.zeros((1,), dtype=fe_p.dtype)]
+    def _nh_fint_window(self, d):
+        """Unstructured Neo-Hookean forces via windowed one-hot MXU
+        gather/scatter (VERDICT r4 #2 — the irregular-mesh fast path).
+
+        Local nodes are RCM-ordered and elements chunk-sorted by minimum
+        node at build, so each Ec-element chunk touches only a W-node
+        window of the (L, 3) nodal array. Per chunk: dynamic-slice the
+        window, build the (Ec*4, W) one-hot incidence on the fly (an
+        elementwise iota compare XLA fuses into the dot operand), and
+
+        * gather  u = onehot @ window      — each row selects ONE node,
+          so the matmul is exact at any precision;
+        * scatter F_int[w0:w0+W] += onehot.T @ forces — runs at HIGHEST
+          so the interface sums keep f32 accuracy.
+
+        Chunks accumulate sequentially under lax.scan (windows overlap);
+        parts are vmapped. This replaces the serial-gather floor
+        (measured 3.3M elem-updates/s at 384^3/256 in r4) with MXU work.
+        Same math contract as the reference's per-element assembly over
+        arbitrary tets (Tools/Mat_construction.py:79-119 with the NH
+        stress swapped in).
+        """
+        from ..ops.precision import HIGHEST
+
+        W = self.nhw_W
+        dt_ = d.dtype
+        L = (self.DL - 1) // 3
+
+        def one(dp, w0s, rel, G, dJw):
+            dn = dp[: 3 * L].reshape(L, 3)
+            # pad by W so any w0 in [0, L] slices in-bounds
+            dn = jnp.concatenate([dn, jnp.zeros((W, 3), dtype=dt_)])
+            out0 = jnp.zeros((L + W, 3), dtype=dt_)
+
+            def chunk(out, inp):
+                w0, relc, Gc, dJwc = inp
+                z = jnp.zeros((), dtype=w0.dtype)
+                win = jax.lax.dynamic_slice(dn, (w0, z), (W, 3))
+                oh = (
+                    relc.reshape(-1, 1)
+                    == jax.lax.broadcasted_iota(
+                        relc.dtype, (relc.size, W), 1
+                    )
+                ).astype(dt_)                         # (Ec*4, W)
+                u4 = jnp.dot(oh, win, precision=HIGHEST)
+                fe = self._nh_force_soa(
+                    u4.reshape(-1, 12), Gc, dJwc
+                )                                     # (Ec, 12)
+                fw = jnp.dot(
+                    oh.T, fe.reshape(-1, 3), precision=HIGHEST
+                )                                     # (W, 3)
+                cur = jax.lax.dynamic_slice(out, (w0, z), (W, 3))
+                return (
+                    jax.lax.dynamic_update_slice(out, cur + fw, (w0, z)),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(chunk, out0, (w0s, rel, G, dJw))
+            return jnp.concatenate(
+                [out[:L].reshape(-1), jnp.zeros((1,), dtype=dt_)]
             )
-            return flat[gi].sum(axis=-1)
 
-        return jax.vmap(assemble)(fe, self.nh_gather)
+        return jax.vmap(one)(
+            d, self.nhw_w0, self.nhw_idx, self.nhw_G, self.nhw_dJw
+        )
 
     # ---- shared machinery of the stencil force kernels ----------------
     def _stencil_views(self, d):
@@ -1807,6 +1988,7 @@ class ShardedSolver:
     _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
                    "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
                    "nx_src", "ecoords", "nh_G", "nh_detJw", "nh_gather",
+                   "nhw_w0", "nhw_idx", "nhw_G", "nhw_dJw",
                    "stn_face_cidx", "stn_face_mask", "stn_conc_idx",
                    "nhs_Gc", "nhs_dJwc")
 

@@ -64,7 +64,12 @@ def test_stencil_matches_gather_trajectory(n_parts):
     cfg, prob = _problem((8, 2, 2))
     mat = NeoHookean.from_engineering(E=1e6, nu=0.3, rho=1.0, fz=0.5)
     maps = _maps(prob, n_parts)
-    sp_g = ShardedProblem.build(prob, maps, material=mat, nh_stencil="off")
+    # nh_gather='incident' pins the original gather path: the windowed
+    # one-hot default reassociates the per-node force sums (~2e-14 rel),
+    # and its own equality test lives in test_nh_window.py
+    sp_g = ShardedProblem.build(
+        prob, maps, material=mat, nh_stencil="off", nh_gather="incident"
+    )
     sp_s = ShardedProblem.build(prob, maps, material=mat, nh_stencil="auto")
     assert sp_g.nhs_dims is None
     assert sp_s.nhs_dims is not None, "stencil did not activate"
