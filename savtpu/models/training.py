@@ -15,6 +15,8 @@ Python-dispatched steps.
 
 from __future__ import annotations
 
+import time
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Tuple
@@ -523,35 +525,41 @@ def fit_stacked(
             epoch_body, (params, opt_state), e0 + jnp.arange(n_epochs)
         )
 
-    # adaptive dispatch budget: the remote worker's watchdog kills
-    # multi-minute single dispatches, and per-epoch cost scales with
-    # shards*windows*window_len*width*hidden. Calibrated at ~54 ms/epoch
-    # for (16 shards, 295 windows, 20, 486, 50); target <=15 s/dispatch.
-    ref_work = 16 * 295 * 20 * 486 * 50
-    work = max(Pn * n_train * X.shape[2] * Dmax * cfg.hidden_size, 1)
-    per_epoch_ms = 54.0 * work / ref_work
-    # the flop model under-counts at high model counts (the vmapped
-    # per-shard LSTMs stop amortizing): a 256-shard hybrid residual fit
-    # crashed the remote worker's watchdog with the plain estimate.
-    # `work` is already linear in Pn, so pad by sqrt(Pn/64) — enough to
-    # absorb the observed sublinear non-amortization without making the
-    # modeled cost quadratic in shard count (which shrank chunks 4x at
-    # 256 shards and quadrupled dispatch overhead).
-    per_epoch_ms *= max(1.0, (Pn / 64.0) ** 0.5)
-    chunk_budget = max(10, int(15_000 / max(per_epoch_ms, 1e-3)))
-    chunk = max(1, min(int(getattr(cfg, "epoch_chunk", 0) or 250),
-                       chunk_budget, cfg.epochs))
+    # CLOSED-LOOP dispatch sizing: the remote worker's watchdog kills
+    # multi-minute single dispatches, and the open-loop per-epoch flop
+    # model mispredicted in both directions (r4's quadratic shard pad
+    # shrank chunks 4x; relaxing it to sqrt crashed the 256-shard hybrid
+    # fit with a too-long first dispatch — a kernel-fault worker crash,
+    # r5 queue A). Instead, probe: run a small first chunk, measure the
+    # wall of each dispatch, and size subsequent chunks from the MEASURED
+    # rate targeting ~15 s/dispatch — the probe discipline of
+    # ShardedSolver.run_streamed. n_epochs is a static jit arg, so each
+    # distinct size compiles once; sizing is frozen after the second
+    # resize to bound compiles at <=4 (probe, bootstrap, cruise, tail).
+    cap = max(1, min(int(getattr(cfg, "epoch_chunk", 0) or 250),
+                     cfg.epochs))
+    target_s = 15.0
+    probe = max(1, min(10, cap))
+    chunk = probe
     tls, vls = [], []
     done = 0
+    n_dispatch = 0
     while done < cfg.epochs:
         n = min(chunk, cfg.epochs - done)
+        t0 = time.perf_counter()
         (params, opt_state), (tl_c, vl_c) = run(
             params, opt_state, Xtr, Ytr, Xva, Yva, feat_mask,
             jnp.asarray(done), n,
         )
-        tls.append(np.asarray(tl_c))
+        tls.append(np.asarray(tl_c))  # np.asarray blocks on the dispatch
         vls.append(np.asarray(vl_c))
         done += n
+        if n_dispatch < 2:
+            # dispatch 0 includes compile -> its rate UNDER-estimates,
+            # giving a safe bootstrap chunk; dispatch 1 re-sizes cleanly
+            rate = n / max(time.perf_counter() - t0, 1e-6)
+            chunk = max(probe, min(cap, int(rate * target_s)))
+        n_dispatch += 1
     tl = np.concatenate(tls)
     vl = np.concatenate(vls)
     tl, vl = np.asarray(tl), np.asarray(vl)  # (epochs, P, 3)
