@@ -165,6 +165,16 @@ class SurrogateConfig:
                                     # when n_parts > 1 (the fast path —
                                     # one compiled program instead of one
                                     # retrace per distinct rank width)
+    target_mode: str = "absolute"  # savtpu extension: "increment" trains
+                                   # the LSTM decoder head on STEP DELTAS
+                                   # (y_t = y_{t-1} + head) instead of
+                                   # absolute rows — the r3-proposed
+                                   # drift mechanism for the pure-LSTM
+                                   # architecture (VERDICT r4 #6); the
+                                   # identity carry rides outside the
+                                   # network, so zero head output is a
+                                   # persistence baseline. "absolute" =
+                                   # reference behavior (DNN_tools.py:118).
     input_noise: float = 0.0  # savtpu extension: stddev of Gaussian noise
                               # added to encoder inputs during training
                               # (scaled units) — robustifies the open-loop

@@ -76,9 +76,19 @@ def init_seq2seq(
     num_layers_encoder: int = 2,
     bidirectional: bool = True,
     dtype=jnp.float32,
+    increment: bool = False,
 ):
     """Parameter pytree for the encoder-decoder (LSTM_encoder_decoder,
-    DNN_tools.py:85-98)."""
+    DNN_tools.py:85-98).
+
+    ``increment=True`` switches the decoder head to INCREMENT-SPACE
+    targets (SurrogateConfig.target_mode): each decode step emits
+    y_t = y_{t-1} + head(hidden) instead of y_t = head(hidden) — the
+    model learns the step-to-step delta and the identity carry rides
+    outside the network (a persistence baseline at zero head output).
+    The flag is stored as an arithmetic gate ``ginc`` inside the params
+    pytree, so stacked/vmapped training, artifact save/load, and every
+    predict call site work unchanged."""
     keys = jax.random.split(key, 2 * num_layers_encoder + 2)
     D = 2 if bidirectional else 1
     enc = []
@@ -100,7 +110,10 @@ def init_seq2seq(
         "W": _uniform(kf1, (dec_hidden, input_size), kfan, dtype),
         "b": _uniform(kf2, (input_size,), kfan, dtype),
     }
-    return {"encoder": enc, "decoder": dec, "fc": fc}
+    out = {"encoder": enc, "decoder": dec, "fc": fc}
+    if increment:
+        out["ginc"] = jnp.ones((), dtype=dtype)
+    return out
 
 
 def encoder_forward(params, x, dropout: float = 0.0, key=None):
@@ -158,10 +171,15 @@ def seq2seq_predict(params, x, n_future: int, feat_mask=None):
         return linear_predict(params, x, n_future, feat_mask=feat_mask)
     hn, cn = encoder_forward(params, x)
     x_last = x[:, -1, :]
+    ginc = params.get("ginc") if isinstance(params, dict) else None
 
     def step(carry, _):
         xi, h, c = carry
         y, h, c = decoder_step(params, xi, h, c)
+        if ginc is not None:
+            # increment-space head: y_t = y_{t-1} + head (target_mode);
+            # the gate is a constant, not a trainable (stop_gradient)
+            y = y + jax.lax.stop_gradient(ginc) * xi
         if feat_mask is not None:
             y = y * feat_mask
         return (y, h, c), y
@@ -193,6 +211,7 @@ def seq2seq_train_decode(
     yt = jnp.swapaxes(y_truth, 0, 1)  # (n_future, B, input)
     coins = jax.random.uniform(ktf, (n_future,))
     dkeys = jax.random.split(kdec, n_future)
+    ginc = params.get("ginc") if isinstance(params, dict) else None
 
     def step(carry, inp):
         xi, h, c = carry
@@ -203,6 +222,9 @@ def seq2seq_train_decode(
             keep = jax.random.bernoulli(dk, 1.0 - dropout_decoder, hid.shape)
             hid = hid * keep / (1.0 - dropout_decoder)
         y = hid @ params["fc"]["W"] + params["fc"]["b"]
+        if ginc is not None:
+            # increment-space head (see seq2seq_predict)
+            y = y + jax.lax.stop_gradient(ginc) * xi
         if feat_mask is not None:
             y = y * feat_mask
         nxt = jnp.where(coin < tf_ratio, truth_row, y)

@@ -195,6 +195,7 @@ def fit(
         params = init_seq2seq(
             kinit, input_size, cfg.hidden_size, cfg.num_layers_encoder,
             cfg.bidirectional, dtype=dtype,
+            increment=getattr(cfg, "target_mode", "absolute") == "increment",
         )
 
     num_epochs = cfg.epochs
@@ -399,6 +400,7 @@ def fit_stacked(
         lambda k: init_seq2seq(
             k, Dmax, cfg.hidden_size, cfg.num_layers_encoder,
             cfg.bidirectional, dtype=dtype,
+            increment=getattr(cfg, "target_mode", "absolute") == "increment",
         )
     )(keys)
     schedule = lambda step: cfg.learning_rate * (

@@ -365,6 +365,7 @@ def _run_hybrid(cfg: Config, store: ArtifactStore, n_parts: int,
                 "hidden_size": sur.hidden_size,
                 "num_layers_encoder": sur.num_layers_encoder,
                 "bidirectional": sur.bidirectional,
+                "target_mode": getattr(sur, "target_mode", "absolute"),
                 "n_past": sur.n_past,
                 "n_future": sur.n_future,
                 "rollout_windows": sur.rollout_windows,
@@ -448,6 +449,7 @@ def run(cfg: Config, n_parts: int | None = None, verbose: bool = True):
                 "hidden_size": sur.hidden_size,
                 "num_layers_encoder": sur.num_layers_encoder,
                 "bidirectional": sur.bidirectional,
+                "target_mode": getattr(sur, "target_mode", "absolute"),
                 "n_past": sur.n_past,
                 "n_future": sur.n_future,
                 "rollout_windows": sur.rollout_windows,
@@ -693,6 +695,7 @@ def _run_stacked(cfg: Config, store: ArtifactStore, n_parts: int,
                 "hidden_size": sur.hidden_size,
                 "num_layers_encoder": sur.num_layers_encoder,
                 "bidirectional": sur.bidirectional,
+                "target_mode": getattr(sur, "target_mode", "absolute"),
                 "n_past": sur.n_past,
                 "n_future": sur.n_future,
                 "rollout_windows": sur.rollout_windows,

@@ -94,6 +94,7 @@ def load_rank_models(ctx: StageContext):
                     meta["num_layers_encoder"],
                     meta["bidirectional"],
                     dtype=jnp.dtype(sur.dtype),
+                    increment=meta.get("target_mode") == "increment",
                 ),
             }
             params = load_params(ctx.store.model_file(r), template)
@@ -160,6 +161,7 @@ def load_rank_models(ctx: StageContext):
                     meta["num_layers_encoder"],
                     meta["bidirectional"],
                     dtype=jnp.dtype(sur.dtype),
+                    increment=meta.get("target_mode") == "increment",
                 )
 
             if ens > 1:

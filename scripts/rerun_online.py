@@ -190,6 +190,26 @@ def main():
     metrics = plotter.run(cfg, verbose=False)
     rels = [v for k, v in metrics.items()
             if k.startswith("rank_") and k.endswith("rel_l2_nonshared")]
+    # embed the stage-4 wall breakdown from the run's own metrics.jsonl
+    # (VERDICT r4 #3: every quoted perf number must be a committed
+    # artifact field — warmup/first-group/loop/fetch/write were
+    # instrumented but never propagated into these summaries)
+    stage4 = {}
+    mpath = Path(cfg.workdir) / "metrics.jsonl"
+    if mpath.exists():
+        for line in mpath.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("event") == "stage4_online":
+                stage4 = {
+                    k: rec[k]
+                    for k in ("seconds", "steps_per_sec", "warmup_s",
+                              "first_group_s", "fetch_s", "write_s",
+                              "comm_free_fraction", "blocks")
+                    if k in rec
+                }  # keep the LAST record (this rerun's)
     summary = {
         "smooth": args.smooth,
         "anchor": args.anchor,
@@ -211,6 +231,7 @@ def main():
         "seed": cfg.surrogate.seed,
         "phases": int(getattr(cfg.surrogate, "window_phases", 1) or 1),
         "online_seconds": round(t_online, 1),
+        "stage4_breakdown": stage4,
         "global_rel_l2": round(metrics.get("global_rel_l2_nonshared", -1), 5),
         "rel_l2_per_rank": [round(v, 5) for v in rels],
         "rel_l2_mean": round(sum(rels) / len(rels), 5),

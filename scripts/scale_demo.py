@@ -28,6 +28,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _stage4_breakdown(cfg):
+    """Last stage4_online record from the run's metrics.jsonl (VERDICT
+    r4 #3: the warmup/first-group/fetch/write wall breakdown must live
+    in the committed summary artifact, not only in logs)."""
+    stage4 = {}
+    mpath = Path(cfg.workdir) / "metrics.jsonl"
+    if mpath.exists():
+        for line in mpath.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("event") == "stage4_online":
+                stage4 = {
+                    k: rec[k]
+                    for k in ("seconds", "steps_per_sec", "warmup_s",
+                              "first_group_s", "fetch_s", "write_s",
+                              "comm_free_fraction", "blocks")
+                    if k in rec
+                }
+    return stage4
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=None)
@@ -271,6 +294,7 @@ def main():
             "pure_commfree_run": commfree_s,
             "commfree_over_exchanged": exchanged_s / commfree_s,
         },
+        "stage4_breakdown": _stage4_breakdown(cfg),
         "metrics": metrics,
     }
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
