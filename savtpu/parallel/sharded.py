@@ -241,12 +241,17 @@ class ShardedProblem:
     bc_mask: jnp.ndarray         # (P, DL) 0 on Dirichlet + pad + dummy
     lM: jnp.ndarray              # (P, DL) lumped mass (pad -> 1)
     F_pre: jnp.ndarray           # (P, DL) pre-assembled external force
-    edofs: jnp.ndarray           # (P, E_max, 12) local DOF ids (pad -> DL-1)
-    Ke: jnp.ndarray              # (P, E_max, 12, 12) (pad -> 0)
-    denseK: Optional[jnp.ndarray]  # (P, DL, DL) if fint_mode == 'dense'
-    sld: jnp.ndarray             # (P, 3*S_max) shared local DOF (pad -> DL-1)
-    sgi: jnp.ndarray             # (P, 3*S_max) index into global shared DOFs
-    smask: jnp.ndarray           # (P, 3*S_max) 1 on real shared slots
+    # edofs/Ke ship to the DEVICE only for the F_int modes that read
+    # them at runtime (ebe; edofs also for the nh incident-gather path).
+    # For stencil/banded/dense/ell/window they are build-time host
+    # inputs only — at 384^3/256 the stacked Ke alone is ~340 MB, and
+    # shipping it unread dominated device_pack_s over the remote link.
+    edofs: Optional[jnp.ndarray] = None  # (P, E_max, 12) local DOF ids
+    Ke: Optional[jnp.ndarray] = None     # (P, E_max, 12, 12) (pad -> 0)
+    denseK: Optional[jnp.ndarray] = None  # (P, DL, DL) (fint 'dense')
+    sld: jnp.ndarray = None      # (P, 3*S_max) shared local DOF (pad -> DL-1)
+    sgi: jnp.ndarray = None      # (P, 3*S_max) index into global shared DOFs
+    smask: jnp.ndarray = None    # (P, 3*S_max) 1 on real shared slots
     fint_mode: str = "dense"
     # compensated (double-word float32) time integration: the scan carries
     # the state as an unevaluated (hi, lo) float pair plus the exact last
@@ -663,10 +668,7 @@ class ShardedProblem:
                 Jinv = np.linalg.inv(Jm)
                 Gs[p, :ne] = np.einsum("aj,ejk->eak", dN_ref, Jinv)
                 dJw[p, :ne] = detJ * (1.0 / 6.0)      # 4-pt wts sum = 1/6
-            nh_kwargs = dict(
-                nh_material=material,
-                ecoords=jnp.asarray(ec, dtype=dtype),
-            )
+            nh_kwargs = dict(nh_material=material)
             if nh_window:
                 nh_kwargs.update(
                     _build_nh_window(
@@ -776,8 +778,14 @@ class ShardedProblem:
             bc_mask=jnp.asarray(bc_mask, dtype=dtype),
             lM=jnp.asarray(lM, dtype=dtype),
             F_pre=jnp.asarray(F_pre, dtype=dtype),
-            edofs=jnp.asarray(edofs),
-            Ke=jnp.asarray(Ke, dtype=dtype),
+            edofs=(
+                jnp.asarray(edofs)
+                if fint_mode == "ebe"
+                or (fint_mode == "nh" and nh_box is None
+                    and not nh_window)
+                else None
+            ),
+            Ke=jnp.asarray(Ke, dtype=dtype) if fint_mode == "ebe" else None,
             denseK=denseK,
             sld=jnp.asarray(sld),
             sgi=jnp.asarray(sgi),
@@ -1981,13 +1989,14 @@ class ShardedSolver:
     _PALLAS_VMEM_LIMIT = 96 * 2**20
 
     _DATA_FIELDS = (
-        "dof_mask", "bc_mask", "lM", "F_pre", "edofs", "Ke",
+        "dof_mask", "bc_mask", "lM", "F_pre",
         "sld", "sgi", "smask",
     )
 
-    _OPT_FIELDS = ("denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
+    _OPT_FIELDS = ("edofs", "Ke",
+                   "denseK", "ell_blocks", "ell_cols", "band_Kd", "band_Kl",
                    "shared_onehot", "nx_pack", "nx_unpack", "nx_mask",
-                   "nx_src", "ecoords", "nh_G", "nh_detJw", "nh_gather",
+                   "nx_src", "nh_G", "nh_detJw", "nh_gather",
                    "nhw_w0", "nhw_idx", "nhw_G", "nhw_dJw",
                    "stn_face_cidx", "stn_face_mask", "stn_conc_idx",
                    "nhs_Gc", "nhs_dJwc")
