@@ -53,6 +53,19 @@ class PartitionMaps:
         return np.array([lookup[int(g)] for g in global_nodes], dtype=np.int64)
 
 
+def local_cells_of(nodes, cells, elems, scratch):
+    """Vectorized global->local renumbering of element connectivity:
+    (E_local, nb) local node ids of ``elems``'s rows of ``cells`` under
+    the part's ``nodes`` ordering. ``scratch`` is a reusable (n_global,)
+    int64 work array (left reset to -1) — replaces the per-part Python
+    dict loops that dominated ShardedProblem.build's host time at
+    589k elements x 256 parts (~4 min of device_pack_s)."""
+    scratch[nodes] = np.arange(len(nodes), dtype=np.int64)
+    out = scratch[cells[elems]]
+    scratch[nodes] = -1
+    return out
+
+
 def _first_touch(flat: np.ndarray, n_global: int) -> np.ndarray:
     from ..native import native_first_touch
 
@@ -206,12 +219,12 @@ def rcm_reorder_maps(maps: PartitionMaps, cells: np.ndarray) -> PartitionMaps:
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     cells = np.asarray(cells)
+    scratch = np.full(int(cells.max()) + 1, -1, dtype=np.int64)
     new_local = []
     for p in range(maps.n_parts):
         nodes = maps.local_nodes[p]
-        lookup = {int(g): i for i, g in enumerate(nodes)}
-        loc = np.array(
-            [[lookup[int(n)] for n in cells[e]] for e in maps.local_elements[p]]
+        loc = np.asarray(
+            local_cells_of(nodes, cells, maps.local_elements[p], scratch)
         )
         L = len(nodes)
         rows, cols = [], []

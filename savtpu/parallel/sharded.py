@@ -174,15 +174,13 @@ def _build_nh_window(npn, L_max, maps, cells, Gs, dJw, dtype,
     multiple) keeps shapes uniform for the vmapped scan. Padded chunk
     slots carry G = 0 (zero force) and relative index 0 (any in-window
     target is harmless for a zero contribution)."""
+    from .halo import local_cells_of
+
+    scratch = np.full(int(cells.max()) + 1, -1, dtype=np.int64)
     loc_cells, E_real = [], []
     for p in range(npn):
-        nodes = maps.local_nodes[p]
-        lookup = {int(g): i for i, g in enumerate(nodes)}
         elems = maps.local_elements[p]
-        lc = np.array(
-            [[lookup[int(n)] for n in cells[e]] for e in elems],
-            dtype=np.int64,
-        ).reshape(len(elems), -1)
+        lc = local_cells_of(maps.local_nodes[p], cells, elems, scratch)
         loc_cells.append(lc)
         E_real.append(len(elems))
     Ec = max(1, min(chunk_elems, max(E_real)))
@@ -536,6 +534,8 @@ class ShardedProblem:
         gshared_pos = {int(g): i for i, g in enumerate(maps.global_shared)}
         lumped_np = np.asarray(prob.lumped_M)
         fpre_np = np.asarray(prob.F_pre)
+        from .halo import local_cells_of as _loc_cells_of
+        _scratch = np.full(prob.mesh.num_points, -1, dtype=np.int64)
 
         for p in range(npn):
             nodes = maps.local_nodes[p]
@@ -548,12 +548,8 @@ class ShardedProblem:
             lM[p, : 3 * ln] = lumped_np[gdofs]
             F_pre[p, : 3 * ln] = fpre_np[gdofs]
 
-            lookup = {int(g): i for i, g in enumerate(nodes)}
             elems = maps.local_elements[p]
-            loc_cells = np.array(
-                [[lookup[int(n)] for n in cells[e]] for e in elems],
-                dtype=np.int64,
-            ).reshape(len(elems), -1)
+            loc_cells = _loc_cells_of(nodes, cells, elems, _scratch)
             ed = (3 * loc_cells[:, :, None] + np.arange(3)).reshape(
                 len(elems), nb3
             )
