@@ -37,6 +37,8 @@ __all__ = [
     "fit_expfit",
     "eval_expfit",
     "init_expfit",
+    "advance_expfit",
+    "eval_expfit_device",
 ]
 
 
@@ -168,6 +170,87 @@ def eval_expfit(params, rows: np.ndarray, ramp_end_row: float) -> np.ndarray:
         VB = _design(rows[~inA] - ramp_end_row, z, False, ramp_end_row)
         out[~inA] = (VB @ ccB.T).real
     return out
+
+
+def advance_expfit(params, r0_row: float, ramp_end_row: float):
+    """Advance the fitted two-segment model to a block origin ``r0_row``
+    so the remaining evaluation is a function of the SMALL in-block row
+    offset only. Host float64 — this is the precision-preserving split
+    behind the on-device stage-4 feed (pipeline/online_predictor.py):
+    the absolute advance z^{r0} (r0 up to ~4e3 rows, where float32 phase
+    error would be ~1e-4 relative) happens here in f64; the device only
+    ever computes z^{delta} for delta < block/save_every (~60 rows),
+    where f32 is exact to ~1e-5.
+
+    Returns a dict of f64 arrays for ``eval_expfit_device``:
+      constA (C,)  in-ramp constant folded with the linear term at r0
+      linA   (C,)  per-row linear slope (in-ramp only)
+      aA_re/aA_im (C, M)  in-ramp mode amplitudes advanced by z^{r0}
+      constB (C,), aB_re/aB_im (C, M)  post-ramp, advanced by
+                   z^{max(r0-ramp, 0)} (never a negative power — a
+                   straddling block evaluates B from the ramp end)
+      gap    ()    rows from r0 to the ramp end, clipped at 0: steps
+                   with delta < gap are in-ramp
+    """
+    z = params["z_re"] + 1j * params["z_im"]
+    ccA = params["ccA_re"] + 1j * params["ccA_im"]
+    ccB = params["ccB_re"] + 1j * params["ccB_im"]
+    ramp = float(ramp_end_row)
+    r0 = float(r0_row)
+    denom = max(ramp, 1.0)
+    constA = ccA[:, 0].real + ccA[:, 1].real * (r0 / denom)
+    linA = ccA[:, 1].real / denom
+    aA = ccA[:, 2:] * np.power(z, r0)[None, :]
+    aB = ccB[:, 1:] * np.power(z, max(r0 - ramp, 0.0))[None, :]
+    return {
+        "constA": constA, "linA": linA,
+        "aA_re": aA.real, "aA_im": aA.imag,
+        "constB": ccB[:, 0].real.copy(),
+        "aB_re": aB.real, "aB_im": aB.imag,
+        "gap": np.float64(max(ramp - r0, 0.0)),
+    }
+
+
+def eval_expfit_device(pack, z_re, z_im, save_every, n_steps: int,
+                       dtype=None):
+    """JAX evaluation of an advanced block pack at in-block step offsets
+    0..n_steps-1 (fractional rows delta = i / save_every). Batched over
+    a leading parts axis: pack leaves are (P, C)/(P, C, M)/(P,),
+    ``z_re``/``z_im`` (P, M), ``save_every`` (P,). Returns (P, n_steps,
+    C). Segment selection per step: in-ramp while delta < gap, post-ramp
+    after (the post-ramp offset is delta - gap, clamped at 0 — those
+    steps are masked to the in-ramp value anyway)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.float32
+    i = jnp.arange(n_steps, dtype=dt)
+    delta = i[None, :] / jnp.asarray(save_every, dt)[:, None]  # (P, T)
+    logmag = jnp.log(jnp.maximum(jnp.hypot(z_re, z_im), 1e-30))
+    theta = jnp.arctan2(z_im, z_re)  # (P, M)
+
+    def modes(d):
+        mag = jnp.exp(d[:, :, None] * logmag[:, None, :])
+        ang = d[:, :, None] * theta[:, None, :]
+        return mag * jnp.cos(ang), mag * jnp.sin(ang)  # (P, T, M)
+
+    hi = jax.lax.Precision.HIGHEST
+    vAr, vAi = modes(delta)
+    coA = (
+        pack["constA"][:, None, :]
+        + delta[:, :, None] * pack["linA"][:, None, :]
+        + jnp.einsum("pkm,ptm->ptk", pack["aA_re"], vAr, precision=hi)
+        - jnp.einsum("pkm,ptm->ptk", pack["aA_im"], vAi, precision=hi)
+    )
+    gap = pack["gap"][:, None]
+    dB = jnp.maximum(delta - gap, 0.0)
+    vBr, vBi = modes(dB)
+    coB = (
+        pack["constB"][:, None, :]
+        + jnp.einsum("pkm,ptm->ptk", pack["aB_re"], vBr, precision=hi)
+        - jnp.einsum("pkm,ptm->ptk", pack["aB_im"], vBi, precision=hi)
+    )
+    return jnp.where((delta < gap)[:, :, None], coA, coB)
 
 
 def init_expfit(order: int, channels: int):

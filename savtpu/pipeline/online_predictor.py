@@ -371,7 +371,8 @@ def modal_reconstruct(coefs, modal, fmaskv):
 
 def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
                             modal=None, ens: int = 1,
-                            expfit: bool = False, hybrid: bool = False):
+                            expfit: bool = False, hybrid: bool = False,
+                            efstat=None):
     """Build the fused block-group executor: ``nb`` blocks of the online
     schedule — phase-interleaved prediction, owner consensus, the
     comm-free ``block``-step scan, and the history roll — as ONE compiled
@@ -396,27 +397,40 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
     )
 
     def block_group_body(data, d0c, dnc, tc, hist, sparams, smaxv,
-                         sminv, fmaskv, cnt, mavs, coefs, nb, reduce_fn):
+                         sminv, fmaskv, cnt, mavs, efs, coefs, nb,
+                         reduce_fn):
         lsp = solver._local_view(data)
 
         def one_block(c, xs):
             d0b, dnb, tb, hist = c
             base = None
+            if expfit or hybrid:
+                # the block's mode coefficients are evaluated CLOSED-FORM
+                # ON DEVICE from the advanced-amplitude pack riding in as
+                # scan inputs (models/expfit.py eval_expfit_device): the
+                # absolute advance z^{r0} was folded on host in f64, so
+                # the in-scan f32 evaluation only sees in-block row
+                # offsets (<~60 rows, ~1e-6 relative). This replaces the
+                # per-step coefficient feed — a ~400 MB H2D per group at
+                # 256 parts over the remote device link (VERDICT r4 #4).
+                from ..models.expfit import eval_expfit_device
+
+                co = eval_expfit_device(
+                    xs, efs[0], efs[1], efs[2], block
+                )
             if expfit:
-                # arch="expfit": the block's mode coefficients were
-                # evaluated closed-form on host (models/expfit.py) and
-                # ride in as scan inputs — open loop in time, the
-                # history window feeds only smooth_preds' front pad
+                # arch="expfit": open loop in time, the history window
+                # feeds only smooth_preds' front pad
                 blockpred = modal_reconstruct(
-                    xs, mavs if mavs else None, fmaskv
+                    co, mavs if mavs else None, fmaskv
                 )
             elif hybrid:
-                # arch="hybrid": open-loop expfit base (scan input, like
-                # expfit mode) + the stacked LSTM's RESIDUAL prediction.
-                # ``hist`` holds the residual history (physical shared
-                # rows minus the base), so the LSTM's modal projection
-                # must not re-subtract the mean — mu lives in the base.
-                base = modal_reconstruct(xs, mavs if mavs else None,
+                # arch="hybrid": open-loop expfit base + the stacked
+                # LSTM's RESIDUAL prediction. ``hist`` holds the residual
+                # history (physical shared rows minus the base), so the
+                # LSTM's modal projection must not re-subtract the mean —
+                # mu lives in the base.
+                base = modal_reconstruct(co, mavs if mavs else None,
                                          fmaskv)
                 mz = (
                     (jnp.zeros_like(mavs[0]), mavs[1], mavs[2])
@@ -503,12 +517,14 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
                 fn = jax.jit(_smap(
                     local,
                     mesh=solver.mesh,
-                    # coefs (nb, P, block, K): scan axis replicated,
-                    # parts sharded (empty pytree when not expfit; the
-                    # params placeholder is then an unsharded scalar)
+                    # coefs: advanced-amplitude pack, leaves
+                    # (nb, P, ...) — scan axis replicated, parts
+                    # sharded (empty pytree when not expfit; the
+                    # params placeholder is then an unsharded scalar).
+                    # efs: static pole pack, leaves (P, ...) sharded.
                     in_specs=(data_specs, shard, shard, _P(), shard,
                               _P() if expfit else shard,
-                              shard, shard, shard, _P(), shard,
+                              shard, shard, shard, _P(), shard, shard,
                               _P(None, AXIS)),
                     out_specs=((shard, shard, _P()), shard,
                                _P(None, AXIS)),
@@ -517,6 +533,7 @@ def make_block_group_runner(solver, sur, *, block, se_run, state_dtype, W,
             _bg_cache[nb] = fn
         return fn(data, d0c, dnc, tc, hist, sparams, smaxv, sminv,
                   fmaskv, cnt_global, tuple(modal) if modal else (),
+                  tuple(efstat) if efstat else (),
                   coefs if (expfit or hybrid) else ())
 
     return run_block_group
@@ -631,68 +648,120 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
                 jnp.asarray(fmc, dt_),
             )
 
-    # arch="expfit": evaluate every rank's coefficient trajectory for the
-    # WHOLE prediction span on host in float64 (models/expfit.py — the
-    # model is a closed-form function of time, so there is nothing to
-    # feed back); blocks ship to the device as scan inputs per group.
-    coef_rows = None
+    # arch="expfit": the model is a closed-form function of time, so the
+    # fused block groups evaluate it ON DEVICE (models/expfit.py
+    # eval_expfit_device) from tiny advanced-amplitude packs built here
+    # per group in f64 — the old per-step coefficient feed materialized
+    # (P, T_pred, K) on host (~3 GB at 256 parts) and shipped ~400 MB of
+    # H2D per group over the remote device link (VERDICT r4 #4).
     base_hist = None  # hybrid: physical base at the warm-up history rows
+    ef_static = None
     if expfit_on or hybrid_on:
-        from ..models.expfit import eval_expfit
+        from ..models.expfit import advance_expfit, eval_expfit
 
         if hybrid_on and not stacked_ok:
             raise ValueError(
                 "arch='hybrid' requires the stacked online path "
                 "(uniform modal_dim across ranks)"
             )
-        T_pred = num_steps - n_sync
         Kfeed = models[0][3] if modal_on else S3
-        if not modal_on and P * T_pred * S3 * 4 > 1_000_000_000:
+        n_modes_max = max(
+            len((m[0]["expfit"] if hybrid_on else m[0])["z_re"])
+            for m in models
+        )
+        if not modal_on and P * S3 * (4 * n_modes_max + 4) * 4 > 500e6:
             raise ValueError(
-                "arch='expfit' without modal_dim would materialize "
-                f"{P}x{T_pred}x{S3} physical predictions; set "
+                "arch='expfit' without modal_dim would ship "
+                f"{P}x{S3}x{n_modes_max} amplitude packs per block; set "
                 "surrogate.modal_dim (e.g. 16) to feed mode "
                 "coefficients instead"
             )
-        coef_rows = np.zeros((P, T_pred, Kfeed), dtype=np.float32)
-        steps = np.arange(n_sync, num_steps, dtype=np.float64)
         W_h = sur.n_past * sur.filter_size
         if hybrid_on:
             base_hist = np.zeros((P, W_h, S3))
+        ef_models = []  # (params, save_every, ramp_end_row) per rank
         for r, m in enumerate(models):
             meta_r = m[7]
             pr = m[0]["expfit"] if hybrid_on else m[0]
             se_r = float(meta_r.get("save_every", 1) or 1)
-            rows = steps / se_r
-            co = eval_expfit(
-                pr, rows, float(meta_r["expfit_ramp_end_row"])
-            )  # (T_pred, C_r)
-            coef_rows[r, :, : co.shape[1]] = co.astype(np.float32)
+            ramp_r = float(meta_r["expfit_ramp_end_row"])
+            ef_models.append((pr, se_r, ramp_r))
             if hybrid_on:
                 hrows = (
                     np.arange(n_sync - W_h, n_sync, dtype=np.float64)
                     / se_r
                 )
-                ch = eval_expfit(
-                    pr, hrows, float(meta_r["expfit_ramp_end_row"])
-                )
+                ch = eval_expfit(pr, hrows, ramp_r)
                 mu_r, basis_r = m[5]
                 base_hist[r, :, : mu_r.shape[0]] = ch @ basis_r + mu_r
+
+        # static device pack: per-rank poles (padded with a decayed
+        # dummy z=0.5 whose amplitudes are zero) + row stride
+        M_max = max(
+            (len(p["z_re"]) for p, _, _ in ef_models), default=1
+        ) or 1
+        z_re_np = np.full((P, M_max), 0.5)
+        z_im_np = np.zeros((P, M_max))
+        se_np = np.ones((P,))
+        for r, (p, se_r, _) in enumerate(ef_models):
+            mr = len(p["z_re"])
+            z_re_np[r, :mr] = p["z_re"]
+            z_im_np[r, :mr] = p["z_im"]
+            se_np[r] = se_r
+        ef_static = (
+            jnp.asarray(z_re_np, jnp.float32),
+            jnp.asarray(z_im_np, jnp.float32),
+            jnp.asarray(se_np, jnp.float32),
+        )
+
+        def expfit_group_pack(b0: int, nb: int):
+            """Advanced-amplitude packs for blocks [b0, b0+nb): f32
+            leaves (nb, P, Kfeed[, M_max]) — a few MB per group."""
+            pk = {
+                "constA": np.zeros((nb, P, Kfeed), np.float32),
+                "linA": np.zeros((nb, P, Kfeed), np.float32),
+                "aA_re": np.zeros((nb, P, Kfeed, M_max), np.float32),
+                "aA_im": np.zeros((nb, P, Kfeed, M_max), np.float32),
+                "constB": np.zeros((nb, P, Kfeed), np.float32),
+                "aB_re": np.zeros((nb, P, Kfeed, M_max), np.float32),
+                "aB_im": np.zeros((nb, P, Kfeed, M_max), np.float32),
+                "gap": np.zeros((nb, P), np.float32),
+            }
+            for j in range(nb):
+                step0 = n_sync + (b0 + j) * block
+                for r, (p, se_r, ramp_r) in enumerate(ef_models):
+                    adv = advance_expfit(p, step0 / se_r, ramp_r)
+                    C_r = adv["constA"].shape[0]
+                    mr = adv["aA_re"].shape[1]
+                    pk["constA"][j, r, :C_r] = adv["constA"]
+                    pk["linA"][j, r, :C_r] = adv["linA"]
+                    pk["aA_re"][j, r, :C_r, :mr] = adv["aA_re"]
+                    pk["aA_im"][j, r, :C_r, :mr] = adv["aA_im"]
+                    pk["constB"][j, r, :C_r] = adv["constB"]
+                    pk["aB_re"][j, r, :C_r, :mr] = adv["aB_re"]
+                    pk["aB_im"][j, r, :C_r, :mr] = adv["aB_im"]
+                    pk["gap"][j, r] = adv["gap"]
+            return {k: jnp.asarray(v) for k, v in pk.items()}
 
         def expfit_block_preds(b0: int, n: int) -> np.ndarray:
             """Physical (P, n, S3) predictions for steps
             [n_sync + b0*block, n_sync + b0*block + n) — host f64
             reconstruction for the resync / ragged-tail paths."""
-            lo = b0 * block
-            sl = coef_rows[:, lo : lo + n].astype(np.float64)
-            if not modal_on:
-                return sl
+            steps = np.arange(
+                n_sync + b0 * block, n_sync + b0 * block + n,
+                dtype=np.float64,
+            )
             out = np.zeros((P, n, S3))
             for r, m in enumerate(models):
-                mu, basis = m[5]
-                Dr = mu.shape[0]
-                K_r = basis.shape[0]
-                out[r, :, :Dr] = sl[r, :, :K_r] @ basis + mu
+                pr, se_r, ramp_r = ef_models[r]
+                co = eval_expfit(pr, steps / se_r, ramp_r)
+                if modal_on:
+                    mu, basis = m[5]
+                    out[r, :, : mu.shape[0]] = (
+                        co[:, : basis.shape[0]] @ basis + mu
+                    )
+                else:
+                    out[r, :, : co.shape[1]] = co
             return out
 
     # shared-DOF history — feeds the predictor. The stacked fast path only
@@ -847,7 +916,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         run_block_group = make_block_group_runner(
             solver, sur, block=block, se_run=se_run,
             state_dtype=state_dtype, W=W, modal=modal_pack, ens=ens_m,
-            expfit=expfit_on, hybrid=hybrid_on,
+            expfit=expfit_on, hybrid=hybrid_on, efstat=ef_static,
         )
 
         full_blocks = (num_steps - n_sync) // block
@@ -904,13 +973,7 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
             d0c, dnc, tc = carry
             coefs_g = None
             if expfit_on or hybrid_on:
-                lo = done_blocks * block
-                coefs_g = np.moveaxis(
-                    coef_rows[:, lo : lo + nb * block].reshape(
-                        P, nb, block, -1
-                    ),
-                    0, 1,
-                )  # (nb, P, block, K)
+                coefs_g = expfit_group_pack(done_blocks, nb)
             _tg = time.perf_counter()
             carry, hist_dev, trajs_g = run_block_group(
                 sp_data, d0c, dnc, tc, hist_dev, stacked_params,

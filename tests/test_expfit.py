@@ -86,6 +86,44 @@ def test_expfit_in_ramp_only_fallback():
     assert rel < 1e-6
 
 
+def test_advance_and_device_eval_match_host():
+    """The on-device closed-form feed (advance_expfit +
+    eval_expfit_device, the stage-4 pack path) must reproduce the host
+    f64 eval_expfit to f32 accuracy on every segment topology: fully
+    in-ramp, straddling the ramp end, and deep post-ramp
+    extrapolation."""
+    import jax.numpy as jnp
+
+    from savtpu.models.expfit import advance_expfit, eval_expfit_device
+
+    rng = np.random.default_rng(3)
+    T, ramp = 1200, 400.0
+    ys = np.stack(
+        [_two_segment_signal(T, ramp, rng) * s for s in (1.0, -0.3, 2.5)],
+        axis=1,
+    )
+    params, _ = fit_expfit(ys[:900], ramp, order=6)
+    se = 50.0
+    block = 3000
+    for step0 in (0, int(380 * se), 45000, 52500):
+        rows = (step0 + np.arange(block)) / se
+        ref = eval_expfit(params, rows, ramp)
+        adv = advance_expfit(params, step0 / se, ramp)
+        pack = {
+            k: jnp.asarray(np.asarray(v)[None], jnp.float32)
+            for k, v in adv.items()
+        }
+        dev = np.asarray(eval_expfit_device(
+            pack,
+            jnp.asarray(params["z_re"][None], jnp.float32),
+            jnp.asarray(params["z_im"][None], jnp.float32),
+            jnp.asarray([se], jnp.float32),
+            block,
+        ))[0]
+        err = np.abs(dev - ref).max() / np.abs(ref).max()
+        assert err < 1e-4, (step0, err)
+
+
 def test_expfit_params_roundtrip(tmp_path):
     from savtpu.io.artifacts import load_params, save_params
 
