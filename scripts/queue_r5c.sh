@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-5 queue C: TPU measurement queue, auto-chained after queue B
+# (the nh_384 flagship) releases the device. One TPU client at a time —
+# every item runs strictly sequentially.
+#
+#   a. unstructured NH bench (VERDICT #2): incident vs windowed-MXU on
+#      the irregular Delaunay beam at the 96x8x8 class / 16 parts
+#   b. stage-4 rerun on the flagship artifacts with the on-device
+#      expfit pack (VERDICT #3/#4): wall + breakdown into the artifact
+#   c. re-land the linear 384^3/256 expfit stencil pipeline so every
+#      headline perf number is a committed artifact field (VERDICT #3)
+#   d. pure-LSTM drift ablations at 192x12x12/64 (VERDICT #6)
+#   e. pure-LSTM drift ablations on the tube 2x24x48/8 (VERDICT #6)
+#   f. bench.py refresh (driver artifact + /verify TPU leg)
+set -u
+cd /root/repo
+L=/tmp/queue_r5c.log
+while kill -0 "$(cat /tmp/queue_r5b.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 60
+done
+echo "=== $(date +%H:%M:%S) queue C start ===" >> $L
+
+echo "=== $(date +%H:%M:%S) a: bench_unstructured ===" >> $L
+timeout 3600 python scripts/bench_unstructured.py --cells 96 8 8 \
+  --parts 16 --out BENCH_UNSTRUCTURED.json >> $L 2>&1
+echo "=== a exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) b: nh_384 stage-4 rerun (on-device pack) ===" >> $L
+timeout 5000 python scripts/rerun_online.py --dir runs/nh_384 \
+  --cells 384 16 16 --parts 256 --steps 200000 --pmethod box \
+  --material neo_hookean --fint stencil --arch hybrid --order 16 \
+  --modal 16 --no-consensus --cutoff 0.75 --skip-retrain >> $L 2>&1
+echo "=== b exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) c: linear 384^3 expfit re-land ===" >> $L
+timeout 8000 python scripts/scale_demo.py --cells 384 16 16 --parts 256 \
+  --steps 200000 --arch expfit --order 16 --modal 8 --no-consensus \
+  --cutoff 0.75 --pmethod box --fint stencil --exchange grid \
+  --out runs/scale_384_r5 >> $L 2>&1
+echo "=== c exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) d: lstm ablation 192x12x12/64 ===" >> $L
+timeout 8000 python scripts/lstm_ablation.py --dir runs/lin_192_ablation \
+  --cells 192 12 12 --parts 64 --steps 100000 >> $L 2>&1
+echo "=== d exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) e: lstm ablation tube 2x24x48/8 ===" >> $L
+timeout 6000 python scripts/lstm_ablation.py --dir runs/tube_ablation \
+  --tube 2 24 48 --parts 8 --steps 100000 --pmethod graph --fint auto \
+  --exchange psum >> $L 2>&1
+echo "=== e exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) f: bench.py ===" >> $L
+timeout 900 python bench.py >> $L 2>&1
+echo "=== f exit $? ===" >> $L
+echo "QUEUE C DONE" >> $L
