@@ -50,6 +50,10 @@ timeout 6000 python scripts/lstm_ablation.py --dir runs/tube_ablation \
   --exchange psum >> $L 2>&1
 echo "=== e exit $? ===" >> $L
 
+echo "=== $(date +%H:%M:%S) g: comm account on TPU (8/16/64/256 parts) ===" >> $L
+timeout 6000 python scripts/comm_account.py --steps 2000 >> $L 2>&1
+echo "=== g exit $? ===" >> $L
+
 echo "=== $(date +%H:%M:%S) f: bench.py ===" >> $L
 timeout 900 python bench.py >> $L 2>&1
 echo "=== f exit $? ===" >> $L
