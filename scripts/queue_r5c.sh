@@ -13,12 +13,20 @@
 #   e. pure-LSTM drift ablations on the tube 2x24x48/8 (VERDICT #6)
 #   f. bench.py refresh (driver artifact + /verify TPU leg)
 set -u
+echo $$ > /tmp/queue_r5c.pid
+trap 'kill -- -$$ 2>/dev/null' EXIT
 cd /root/repo
 L=/tmp/queue_r5c.log
-while kill -0 "$(cat /tmp/queue_r5b.pid 2>/dev/null)" 2>/dev/null; do
+# wait for queue B's WHOLE process group (the 08:21 incident: the
+# wrapper died but timeout+python lived on, and a stale pid check let
+# two TPU clients run concurrently — wedging the axon relay)
+while :; do
+  bp="$(cat /tmp/queue_r5b.pid 2>/dev/null)" || true
+  [ -z "$bp" ] && break
+  kill -0 -- "-$bp" 2>/dev/null || kill -0 "$bp" 2>/dev/null || break
   sleep 60
 done
-echo "=== $(date +%H:%M:%S) queue C start ===" >> $L
+echo "=== $(date +%H:%M:%S) queue C start (pid $$) ===" >> $L
 
 echo "=== $(date +%H:%M:%S) a: bench_unstructured ===" >> $L
 timeout 3600 python scripts/bench_unstructured.py --cells 96 8 8 \

@@ -17,6 +17,9 @@ from savtpu.io.artifacts import ArtifactStore, load_displacement
 def _run(args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"  # read at interpreter start -> effective
+    # skip axon PJRT registration entirely: a stray TPU client from a
+    # test subprocess can wedge a concurrently running TPU job's relay
+    env["PALLAS_AXON_POOL_IPS"] = ""
     env.pop("XLA_FLAGS", None)
     return subprocess.run(
         [sys.executable, "-m", *args],
