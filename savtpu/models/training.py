@@ -546,6 +546,7 @@ def fit_stacked(
     tls, vls = [], []
     done = 0
     n_dispatch = 0
+    t_fit = time.perf_counter()
     while done < cfg.epochs:
         n = min(chunk, cfg.epochs - done)
         t0 = time.perf_counter()
@@ -562,6 +563,15 @@ def fit_stacked(
             rate = n / max(time.perf_counter() - t0, 1e-6)
             chunk = max(probe, min(cap, int(rate * target_s)))
         n_dispatch += 1
+        if log_every:
+            # per-dispatch heartbeat: at production scale a full fit is
+            # tens of minutes, and a silent gap is indistinguishable
+            # from a wedged device client (docs/STATUS_r5.md §2)
+            el = time.perf_counter() - t_fit
+            log_fn(
+                f"  [fit_stacked] {done}/{cfg.epochs} epochs "
+                f"({el:.0f}s, dispatch {n_dispatch})"
+            )
     tl = np.concatenate(tls)
     vl = np.concatenate(vls)
     tl, vl = np.asarray(tl), np.asarray(vl)  # (epochs, P, 3)
