@@ -58,6 +58,13 @@ timeout 6000 python scripts/lstm_ablation.py --dir runs/tube_ablation \
   --exchange psum >> $L 2>&1
 echo "=== e exit $? ===" >> $L
 
+echo "=== $(date +%H:%M:%S) h: irregular unstructured e2e at 64 parts ===" >> $L
+timeout 6000 python scripts/scale_demo.py --irregular 160 10 10 --parts 64 \
+  --steps 100000 --arch hybrid --order 16 --modal 16 --no-consensus \
+  --cutoff 0.75 --pmethod graph --fint auto --exchange psum \
+  --out runs/irregular_160 >> $L 2>&1
+echo "=== h exit $? ===" >> $L
+
 echo "=== $(date +%H:%M:%S) g: comm account on TPU (8/16/64/256 parts) ===" >> $L
 timeout 6000 python scripts/comm_account.py --steps 2000 >> $L 2>&1
 echo "=== g exit $? ===" >> $L
