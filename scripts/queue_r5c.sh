@@ -1,7 +1,8 @@
 #!/bin/bash
 # Round-5 queue C: TPU measurement queue, auto-chained after queue B
 # (the nh_384 flagship) releases the device. One TPU client at a time —
-# every item runs strictly sequentially.
+# every item runs strictly sequentially. Ordered so the must-have
+# artifacts land first; the long LSTM ablations run last.
 #
 #   a. unstructured NH bench (VERDICT #2): incident vs windowed-MXU on
 #      the irregular Delaunay beam at the 96x8x8 class / 16 parts
@@ -9,9 +10,11 @@
 #      expfit pack (VERDICT #3/#4): wall + breakdown into the artifact
 #   c. re-land the linear 384^3/256 expfit stencil pipeline so every
 #      headline perf number is a committed artifact field (VERDICT #3)
+#   h. irregular unstructured end-to-end pipeline at 64 parts
+#   g. full-scale comm account (8/16/64/256 parts) on TPU (VERDICT #5)
+#   f. bench.py refresh (driver artifact + /verify TPU leg)
 #   d. pure-LSTM drift ablations at 192x12x12/64 (VERDICT #6)
 #   e. pure-LSTM drift ablations on the tube 2x24x48/8 (VERDICT #6)
-#   f. bench.py refresh (driver artifact + /verify TPU leg)
 set -u
 echo $$ > /tmp/queue_r5c.pid
 trap 'kill -- -$$ 2>/dev/null' EXIT
@@ -47,17 +50,6 @@ timeout 8000 python scripts/scale_demo.py --cells 384 16 16 --parts 256 \
   --out runs/scale_384_r5 >> $L 2>&1
 echo "=== c exit $? ===" >> $L
 
-echo "=== $(date +%H:%M:%S) d: lstm ablation 192x12x12/64 ===" >> $L
-timeout 8000 python scripts/lstm_ablation.py --dir runs/lin_192_ablation \
-  --cells 192 12 12 --parts 64 --steps 100000 >> $L 2>&1
-echo "=== d exit $? ===" >> $L
-
-echo "=== $(date +%H:%M:%S) e: lstm ablation tube 2x24x48/8 ===" >> $L
-timeout 6000 python scripts/lstm_ablation.py --dir runs/tube_ablation \
-  --tube 2 24 48 --parts 8 --steps 100000 --pmethod graph --fint auto \
-  --exchange psum >> $L 2>&1
-echo "=== e exit $? ===" >> $L
-
 echo "=== $(date +%H:%M:%S) h: irregular unstructured e2e at 64 parts ===" >> $L
 timeout 6000 python scripts/scale_demo.py --irregular 160 10 10 --parts 64 \
   --steps 100000 --arch hybrid --order 16 --modal 16 --no-consensus \
@@ -72,4 +64,16 @@ echo "=== g exit $? ===" >> $L
 echo "=== $(date +%H:%M:%S) f: bench.py ===" >> $L
 timeout 900 python bench.py >> $L 2>&1
 echo "=== f exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) d: lstm ablation 192x12x12/64 ===" >> $L
+timeout 12000 python scripts/lstm_ablation.py --dir runs/lin_192_ablation \
+  --cells 192 12 12 --parts 64 --steps 100000 >> $L 2>&1
+echo "=== d exit $? ===" >> $L
+
+echo "=== $(date +%H:%M:%S) e: lstm ablation tube 2x24x48/8 ===" >> $L
+timeout 8000 python scripts/lstm_ablation.py --dir runs/tube_ablation \
+  --tube 2 24 48 --parts 8 --steps 100000 --pmethod graph --fint auto \
+  --exchange psum >> $L 2>&1
+echo "=== e exit $? ===" >> $L
 echo "QUEUE C DONE" >> $L
+rm -f /tmp/queue_r5c.pid
