@@ -43,12 +43,16 @@ timeout 5000 python scripts/rerun_online.py --dir runs/nh_384 \
   --modal 16 --no-consensus --cutoff 0.75 --skip-retrain >> $L 2>&1
 echo "=== b exit $? ===" >> $L
 
-echo "=== $(date +%H:%M:%S) c: linear 384^3 expfit re-land ===" >> $L
-timeout 8000 python scripts/scale_demo.py --cells 384 16 16 --parts 256 \
-  --steps 200000 --arch expfit --order 16 --modal 8 --no-consensus \
-  --cutoff 0.75 --pmethod box --fint stencil --exchange grid \
-  --out runs/scale_384_r5 >> $L 2>&1
-echo "=== c exit $? ===" >> $L
+if [ ! -f runs/scale_384_r5/summary.json ]; then
+  echo "=== $(date +%H:%M:%S) c: linear 384^3 expfit re-land ===" >> $L
+  timeout 8000 python scripts/scale_demo.py --cells 384 16 16 --parts 256 \
+    --steps 200000 --arch expfit --order 16 --modal 8 --no-consensus \
+    --cutoff 0.75 --pmethod box --fint stencil --exchange grid \
+    --out runs/scale_384_r5 >> $L 2>&1
+  echo "=== c exit $? ===" >> $L
+else
+  echo "=== c already landed (summary.json exists); skipping ===" >> $L
+fi
 
 echo "=== $(date +%H:%M:%S) h: irregular unstructured e2e at 64 parts ===" >> $L
 timeout 6000 python scripts/scale_demo.py --irregular 160 10 10 --parts 64 \
