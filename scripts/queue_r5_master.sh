@@ -1,17 +1,15 @@
 #!/bin/bash
-# Round-5 master chain: wait for the in-flight linear 384^3 re-land
-# (queue C item c, running detached), then the flagship queue B, then
-# the remaining queue C items. Strictly one TPU client at a time.
-# Launch with: setsid nohup bash scripts/queue_r5_master.sh &
+# Round-5 master chain (post-reboot restart): flagship queue B (full
+# nh_384 pipeline) then the measurement queue C. Strictly one TPU
+# client at a time; both queues commit artifacts as they land and
+# respect the 02:50 UTC deadline so the device is free for the
+# driver's end-of-round bench.
+# Launch with: setsid nohup bash scripts/tpu_wait_launch.sh scripts/queue_r5_master.sh &
 set -u
 echo $$ > /tmp/queue_r5_master.pid
 cd /root/repo
-L=/tmp/queue_master.log
-WAIT_PID="${1:-0}"
-if [ "$WAIT_PID" != "0" ]; then
-  echo "=== $(date +%H:%M:%S) master: waiting on pid $WAIT_PID ===" >> $L
-  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
-fi
+mkdir -p queue_logs
+L=queue_logs/queue_master.log
 echo "=== $(date +%H:%M:%S) master: queue B ===" >> $L
 bash scripts/queue_r5b.sh
 echo "=== $(date +%H:%M:%S) master: queue C ===" >> $L

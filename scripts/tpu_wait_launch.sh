@@ -5,7 +5,8 @@
 set -u
 cd /root/repo
 Q="$1"
-L=/tmp/tpu_wait.log
+mkdir -p queue_logs
+L=queue_logs/tpu_wait.log
 echo "=== $(date +%H:%M:%S) waiting for TPU worker ($Q) ===" >> $L
 while :; do
   if timeout 120 python -c "
