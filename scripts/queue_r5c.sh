@@ -9,9 +9,9 @@
 #      the irregular Delaunay beam at the 96x8x8 class / 16 parts
 #   b. stage-4 rerun on the flagship artifacts with the on-device
 #      expfit pack (VERDICT #3/#4): wall + breakdown into the artifact
-#   h. irregular unstructured end-to-end pipeline at 64 parts (VERDICT #2)
 #   g. full-scale comm account (8/16/64/256 parts) on TPU (VERDICT #5)
 #   f. bench.py refresh (driver artifact + /verify TPU leg)
+#   h. irregular unstructured end-to-end pipeline at 64 parts (VERDICT #2)
 #   c. re-land the linear 384^3/256 expfit stencil pipeline (VERDICT #3)
 #   e. pure-LSTM drift ablations on the tube 2x24x48/8 (VERDICT #6)
 #   d. pure-LSTM drift ablations at 192x12x12/64 (VERDICT #6)
@@ -67,15 +67,6 @@ echo "=== b exit $? ===" >> $L
 commit "Flagship stage-4 rerun with on-device expfit pack: wall + breakdown (queue C b)" \
   runs/nh_384 queue_logs/queue_r5c.log
 
-echo "=== $(date +%H:%M:%S) h: irregular unstructured e2e at 64 parts ===" >> $L
-run_item 6000 python scripts/scale_demo.py --irregular 160 10 10 --parts 64 \
-  --steps 100000 --arch hybrid --order 16 --modal 16 --no-consensus \
-  --cutoff 0.75 --pmethod graph --fint auto --exchange psum \
-  --out runs/irregular_160
-echo "=== h exit $? ===" >> $L
-commit "Irregular unstructured end-to-end pipeline at 64 parts (queue C h)" \
-  runs/irregular_160 queue_logs/queue_r5c.log
-
 echo "=== $(date +%H:%M:%S) g: comm account on TPU (8/16/64/256 parts) ===" >> $L
 run_item 6000 python scripts/comm_account.py --steps 2000
 echo "=== g exit $? ===" >> $L
@@ -87,6 +78,15 @@ run_item 1200 python bench.py
 echo "=== f exit $? ===" >> $L
 commit "bench.py refresh on TPU (queue C f)" \
   BENCH_DETAILS.json queue_logs/queue_r5c.log
+
+echo "=== $(date +%H:%M:%S) h: irregular unstructured e2e at 64 parts ===" >> $L
+run_item 6000 python scripts/scale_demo.py --irregular 160 10 10 --parts 64 \
+  --steps 100000 --arch hybrid --order 16 --modal 16 --no-consensus \
+  --cutoff 0.75 --pmethod graph --fint auto --exchange psum \
+  --out runs/irregular_160
+echo "=== h exit $? ===" >> $L
+commit "Irregular unstructured end-to-end pipeline at 64 parts (queue C h)" \
+  runs/irregular_160 queue_logs/queue_r5c.log
 
 if [ ! -f runs/scale_384_r5/summary.json ]; then
   echo "=== $(date +%H:%M:%S) c: linear 384^3 expfit re-land ===" >> $L
