@@ -328,15 +328,16 @@ def main():
         print(f"[ablation] {name}: worst={results[name]['worst']} "
               f"mean={results[name]['mean']} ({t_train:.0f}s)",
               flush=True)
-
-    outp = out / "lstm_ablation.json"
-    outp.write_text(json.dumps(
-        {"config": {"cells": args.cells, "tube": args.tube,
-                    "parts": args.parts, "steps": args.steps,
-                    "noise": args.noise, "rollout": args.rollout,
-                    "horizons": list(args.horizons),
-                    "eval_ranks": [int(r) for r in eval_ranks]},
-         "results": results}, indent=2))
+        # write after EVERY variant: a deadline/timeout kill mid-run
+        # must not lose the rows already measured
+        outp = out / "lstm_ablation.json"
+        outp.write_text(json.dumps(
+            {"config": {"cells": args.cells, "tube": args.tube,
+                        "parts": args.parts, "steps": args.steps,
+                        "noise": args.noise, "rollout": args.rollout,
+                        "horizons": list(args.horizons),
+                        "eval_ranks": [int(r) for r in eval_ranks]},
+             "results": results}, indent=2))
     print(f"[ablation] wrote {outp}")
 
 
