@@ -111,7 +111,7 @@ commit "Pure-LSTM drift ablations on the tube (queue C e)" \
 
 echo "=== $(date +%H:%M:%S) d: lstm ablation 192x12x12/64 ===" >> $L
 run_item 12000 python scripts/lstm_ablation.py --dir runs/lin_192_ablation \
-  --cells 192 12 12 --parts 64 --steps 100000
+  --cells 192 12 12 --parts 64 --steps 100000 --epochs 2000
 echo "=== d exit $? ===" >> $L
 commit "Pure-LSTM drift ablations at 192x12x12/64 (queue C d)" \
   runs/lin_192_ablation queue_logs/queue_r5c.log
