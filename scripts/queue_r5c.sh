@@ -81,7 +81,7 @@ commit "bench.py refresh on TPU (queue C f)" \
 
 echo "=== $(date +%H:%M:%S) h: irregular unstructured e2e at 64 parts ===" >> $L
 run_item 6000 python scripts/scale_demo.py --irregular 160 10 10 --parts 64 \
-  --steps 100000 --arch hybrid --order 16 --modal 16 --no-consensus \
+  --steps 100000 --arch expfit --order 16 --modal 8 --no-consensus \
   --cutoff 0.75 --pmethod graph --fint auto --exchange psum \
   --out runs/irregular_160
 echo "=== h exit $? ===" >> $L
