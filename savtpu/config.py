@@ -118,6 +118,12 @@ class SurrogateConfig:
     num_epochs: Optional[int] = None  # None -> int(log(lr_min/lr, decay)) = 3450
     seed: int = 0
     dtype: str = "float32"
+    # stage-4 device-resident history carry dtype (None = dtype). The
+    # carry is (P, n_past*filter_size, S3max) — 2.3 GB f32 at 384^3/256
+    # — and the per-block concat doubles it transiently; "bfloat16"
+    # halves both. For arch="hybrid" the rows are RESIDUALS (~1e-3 of
+    # signal), so bf16's ~0.4% relative noise lands at ~1e-6 of signal.
+    hist_dtype: Optional[str] = None
     resync_blocks: int = 0          # EXPERIMENTAL, measured HARMFUL: one
                                     # exchanged block (shared DOFs blended
                                     # prediction->dynamics) every N

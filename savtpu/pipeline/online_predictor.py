@@ -100,6 +100,19 @@ def load_rank_models(ctx: StageContext):
             params = load_params(ctx.store.model_file(r), template)
             mu = np.asarray(meta["modal_mean"], dtype=np.float64)
             basis = np.asarray(meta["modal_basis"], dtype=np.float64)
+            if sur.arch == "expfit":
+                # arch DOWNGRADE: cfg asks for expfit but the stage-3
+                # artifacts are hybrid — evaluate only the closed-form
+                # base and drop the residual LSTM. Fallback for when the
+                # fused hybrid group program cannot run at scale (the
+                # in-scan stacked LSTM + residual-history carry at 256
+                # parts exceeds what the device/worker survives).
+                models.append(
+                    (params["expfit"], 0.0, -1.0,
+                     int(meta["input_size"]), False, (mu, basis), 1,
+                     {**meta, "arch": "expfit"})
+                )
+                continue
             # cross-check the residual scaling like the raw-trace path:
             # rebuild the residual from the stored trace + sidecar expfit
             from .model_training import effective_filter as _eff
@@ -902,7 +915,11 @@ def run(cfg: Config, ctx: StageContext | None = None, verbose: bool = True,
         h0 = np.asarray(shared0[:, -W:], dtype=np.float64)
         if hybrid_on and not start_steps:
             h0 = h0 - base_hist
-        hist_dev = jnp.asarray(h0, dtype=jnp.dtype(sur.dtype))
+        hd_dt = (
+            jnp.dtype(sur.hist_dtype)
+            if getattr(sur, "hist_dtype", None) else jnp.dtype(sur.dtype)
+        )
+        hist_dev = jnp.asarray(h0, dtype=hd_dt)
 
         # The whole block pipeline — phase-interleaved prediction,
         # owner consensus, the comm-free 3000-step scan, and the history

@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--material", type=str, default=None,
                     choices=("linear", "neo_hookean"),
                     help="material.model -- MUST match the stage-1 run")
+    ap.add_argument("--hist-dtype", type=str, default=None,
+                    help="stage-4 history carry dtype (e.g. bfloat16); "
+                         "halves the (P, W, S3) device carry at 256 "
+                         "parts (SurrogateConfig.hist_dtype)")
     ap.add_argument("--skip-retrain", action="store_true",
                     help="reuse the existing Distributed_save models even "
                          "when surrogate knobs are passed (the knobs must "
@@ -173,6 +177,8 @@ def main():
     if args.seed is not None:
         cfg.surrogate.seed = args.seed
         retrain = True
+    if args.hist_dtype:
+        cfg.surrogate.hist_dtype = args.hist_dtype
     if args.epoch_chunk:
         cfg.surrogate.epoch_chunk = args.epoch_chunk
     cfg.solver.save_every = math.gcd(args.steps, cfg.surrogate.filter_size)
@@ -229,6 +235,7 @@ def main():
         "cut_off": cfg.surrogate.cut_off,
         "input_noise": cfg.surrogate.input_noise,
         "seed": cfg.surrogate.seed,
+        "hist_dtype": args.hist_dtype,
         "phases": int(getattr(cfg.surrogate, "window_phases", 1) or 1),
         "online_seconds": round(t_online, 1),
         "stage4_breakdown": stage4,
@@ -258,6 +265,8 @@ def main():
         tag += f"_E{args.ensemble}"
     if args.cutoff is not None:
         tag += f"_cut{args.cutoff:g}"
+    if args.hist_dtype:
+        tag += f"_h{args.hist_dtype}"
     if args.input_noise is not None:
         tag += f"_in{args.input_noise:g}"
     if args.seed is not None:
